@@ -1,0 +1,220 @@
+"""Batched Jonker–Volgenant LAP solver in pure JAX.
+
+A from-scratch, TPU-first re-design of the reference's C++ dense JV solver
+(``/root/reference/LAP/_lapjv_cpp/lapjv.cpp:8-346``).  The reference is a
+sequential pointer-chasing C program; this implementation re-expresses each
+phase as masked vector reductions driven by ``lax.while_loop`` so the whole
+solve stays on device, is jittable, vmappable over a batch, and works at any
+precision the caller picks (float32 on TPU, float64 on CPU for bit-accurate
+verification).
+
+Phase mapping (reference -> here):
+  * column reduction + reduction transfer (_ccrrt_dense, lapjv.cpp:8-72)
+      -> ``column_reduction``: one column-min + scatter-max unique assignment
+         + vectorised reduction transfer.
+  * augmenting row reduction (_carr_dense, lapjv.cpp:76-149)
+      -> intentionally omitted; it is a sequential accelerator whose work is
+         subsumed by the shortest-path phase.  (Revisit for perf if needed.)
+  * shortest augmenting path (find_path_dense/_scan_dense, lapjv.cpp:153-282)
+      -> ``_find_augmenting_path``: textbook Dijkstra over columns, one
+         vectorised relax per popped column, early exit on a free column.
+  * augmentation (_ca_dense, lapjv.cpp:286-319)
+      -> ``_flip_along_path``: bounded pointer chase via while_loop.
+
+The solver maintains the JV invariants: v are column duals, matched rows are
+tight w.r.t. the implicit u_i = C[i, x_i] - v[x_i], and reduced costs stay
+non-negative, so on termination the assignment is optimal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["column_reduction", "augment_all", "lapjv_single", "lapjv_batch", "matching_cost"]
+
+INT = jnp.int32
+
+
+class Matching(NamedTuple):
+    """Partial/complete matching state.
+
+    col_of_row: (n,) int32, column matched to each row, -1 if free (x in JV).
+    row_of_col: (n,) int32, row matched to each column, -1 if free (y in JV).
+    v:          (n,) column dual potentials.
+    """
+
+    col_of_row: jnp.ndarray
+    row_of_col: jnp.ndarray
+    v: jnp.ndarray
+
+
+def matching_cost(C: jnp.ndarray, col_of_row: jnp.ndarray) -> jnp.ndarray:
+    """Total assignment cost sum_i C[i, x_i] (batched over leading dims)."""
+    picked = jnp.take_along_axis(C, col_of_row[..., :, None], axis=-1)[..., 0]
+    return jnp.sum(picked, axis=-1)
+
+
+def column_reduction(C: jnp.ndarray) -> Matching:
+    """Column reduction + reduction transfer (lapjv.cpp:8-72, vectorised).
+
+    1. v_j = min_i C[i, j]; y_j = first row attaining it (argmin).
+    2. Rows claimed by multiple columns keep only the largest such column
+       (the reference scans j = n-1..0 and keeps the first seen, i.e. the
+       largest j — reproduced here with a scatter-max).
+    3. Rows claimed by exactly one column get a reduction transfer:
+       v[x_i] -= min_{j != x_i} (C[i, j] - v[j]).
+    """
+    n = C.shape[-1]
+    iota = lax.iota(INT, n)
+
+    v = jnp.min(C, axis=0)
+    y = jnp.argmin(C, axis=0).astype(INT)
+
+    # Unique assignment: x[i] = max{ j : y[j] == i } via scatter-max.
+    x = jnp.full((n,), -1, INT).at[y].max(iota)
+    # Column keeps its row only if it won the scatter.
+    y = jnp.where(x[y] == iota, y, -1)
+
+    # Count of columns that pointed at each row (pre-dedup).
+    claims = jnp.zeros((n,), INT).at[jnp.argmin(C, axis=0).astype(INT)].add(1)
+    unique_rows = (claims == 1) & (x >= 0)
+
+    # Reduction transfer for uniquely assigned rows.
+    red = C - v[None, :]
+    red_excl = jnp.where(iota[None, :] == x[:, None], jnp.inf, red)
+    slack = jnp.min(red_excl, axis=1)  # min_{j != x_i} (C[i,j] - v[j])
+    safe_x = jnp.where(x >= 0, x, 0)
+    delta = jnp.where(unique_rows, slack, 0.0).astype(C.dtype)
+    # x is injective on assigned rows, so the scatter has no collisions.
+    v = v.at[safe_x].add(-delta)
+
+    return Matching(col_of_row=x, row_of_col=y, v=v)
+
+
+class _PathState(NamedTuple):
+    d: jnp.ndarray        # (n,) tentative distances over columns
+    pred: jnp.ndarray     # (n,) predecessor row per column
+    scanned: jnp.ndarray  # (n,) bool: column popped & relaxed (the READY set)
+    final_j: jnp.ndarray  # scalar int32: free column reached, -1 while searching
+    mind: jnp.ndarray     # scalar: distance of the last popped column
+    steps: jnp.ndarray    # scalar int32 iteration counter (safety bound)
+
+
+def _find_augmenting_path(
+    C: jnp.ndarray, free_row: jnp.ndarray, row_of_col: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dijkstra from ``free_row`` to the nearest free column.
+
+    Equivalent in effect to find_path_dense (lapjv.cpp:221-282) but written as
+    plain Dijkstra: pop the unscanned column with minimal d; if it is free we
+    are done, otherwise relax all unscanned columns through its matched row.
+    Returns (final_j, pred, v_updated).
+    """
+    n = C.shape[-1]
+    inf = jnp.asarray(jnp.inf, C.dtype)
+
+    init = _PathState(
+        d=C[free_row] - v,
+        pred=jnp.full((n,), free_row, INT),
+        scanned=jnp.zeros((n,), jnp.bool_),
+        final_j=jnp.asarray(-1, INT),
+        mind=jnp.asarray(0, C.dtype),
+        steps=jnp.asarray(0, INT),
+    )
+
+    def cond(s: _PathState):
+        return (s.final_j < 0) & (s.steps <= n)
+
+    def body(s: _PathState) -> _PathState:
+        d_open = jnp.where(s.scanned, inf, s.d)
+        j = jnp.argmin(d_open).astype(INT)
+        mind = d_open[j]
+        i = row_of_col[j]
+
+        def on_free(s):
+            return s._replace(final_j=j, mind=mind, steps=s.steps + 1)
+
+        def on_matched(s):
+            scanned = s.scanned.at[j].set(True)
+            # Slack of the matched row at its own column under current d.
+            h = C[i, j] - v[j] - mind
+            cand = C[i] - v - h
+            improve = (~scanned) & (cand < s.d)
+            d = jnp.where(improve, cand, s.d)
+            pred = jnp.where(improve, i, s.pred)
+            return _PathState(d, pred, scanned, s.final_j, mind, s.steps + 1)
+
+        return lax.cond(i < 0, on_free, on_matched, s)
+
+    s = lax.while_loop(cond, body, init)
+
+    # Dual update on the READY set (lapjv.cpp:270-276): v[j] += d[j] - mind.
+    v_new = jnp.where(s.scanned, v + s.d - s.mind, v)
+    return s.final_j, s.pred, v_new
+
+
+def _flip_along_path(
+    free_row: jnp.ndarray,
+    final_j: jnp.ndarray,
+    pred: jnp.ndarray,
+    col_of_row: jnp.ndarray,
+    row_of_col: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flip matched/unmatched edges along the alternating path (lapjv.cpp:286-319)."""
+    n = pred.shape[0]
+
+    def cond(state):
+        j, x, y, done, k = state
+        return (~done) & (k <= n)
+
+    def body(state):
+        j, x, y, done, k = state
+        i = pred[j]
+        y = y.at[j].set(i)
+        next_j = x[i]
+        x = x.at[i].set(j)
+        return next_j, x, y, i == free_row, k + 1
+
+    _, x, y, _, _ = lax.while_loop(
+        cond,
+        body,
+        (final_j, col_of_row, row_of_col, jnp.asarray(False), jnp.asarray(0, INT)),
+    )
+    return x, y
+
+
+def augment_all(C: jnp.ndarray, m: Matching) -> Matching:
+    """Run shortest-augmenting-path for every free row until none remain.
+
+    The outer loop walks free rows one at a time (as _ca_dense does,
+    lapjv.cpp:293-315); each path search is internally vectorised.
+    """
+
+    def cond(m: Matching):
+        return jnp.any(m.col_of_row < 0)
+
+    def body(m: Matching) -> Matching:
+        free_row = jnp.argmin(m.col_of_row).astype(INT)  # first row with x = -1
+        final_j, pred, v = _find_augmenting_path(C, free_row, m.row_of_col, m.v)
+        x, y = _flip_along_path(free_row, final_j, pred, m.col_of_row, m.row_of_col)
+        return Matching(x, y, v)
+
+    return lax.while_loop(cond, body, m)
+
+
+def lapjv_single(C: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Solve one dense square LAP.  Returns (col_of_row, row_of_col, cost)."""
+    m = column_reduction(C)
+    m = augment_all(C, m)
+    return m.col_of_row, m.row_of_col, matching_cost(C, m.col_of_row)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lapjv_batch(C: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """vmapped batched solve over (B, n, n)."""
+    return jax.vmap(lapjv_single)(C)
