@@ -1,0 +1,169 @@
+"""Host-side (NumPy) dual oracle used by dataset generation and tests.
+
+Mirrors the reference's CPU dual toolkit:
+  * ``project_feasible_np``       — advanced_dual.py:14-36
+  * ``duals_from_matching_np``    — dual_computation.py:13-74 (vectorised: the
+    reference relaxes n^2 difference-constraint edges in a Python loop; one
+    relaxation sweep is equivalent to the min-plus update
+    v <- min(v, min_i(C[i,:] - (C[i,p_i] - v[p_i]))) — iterate to fixpoint)
+  * ``oracle_duals_np``           — dual_computation.py:77-115
+  * ``make_feasible_duals_np``    — advanced_dual.py:85-113
+  * ``check_dual_feasible_np`` / ``check_dual_and_match_np`` —
+    advanced_dual.py:56-82 (raising versions, as the reference does)
+
+These run in float64 on the host and serve as the numeric ground truth the
+JAX/device implementations are tested against.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.optimize
+
+__all__ = [
+    "project_feasible_np",
+    "duals_from_matching_np",
+    "oracle_duals_np",
+    "make_feasible_duals_np",
+    "check_dual_feasible_np",
+    "check_dual_and_match_np",
+    "reduce_costs_np",
+    "normalize01_np",
+]
+
+
+def project_feasible_np(
+    C: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    max_rounds: int = 50,
+    tol: float = 1e-12,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Alternating min-cap projection until feasible (advanced_dual.py:14-36)."""
+    C = np.asarray(C, dtype=float)
+    u = np.asarray(u, dtype=float).copy()
+    v = np.asarray(v, dtype=float).copy()
+    for _ in range(max(1, int(max_rounds))):
+        u = np.minimum(u, (C - v[None, :]).min(axis=1))
+        v = np.minimum(v, (C - u[:, None]).min(axis=0))
+        if (C - u[:, None] - v[None, :]).min() >= -tol:
+            break
+    return u, v
+
+
+def duals_from_matching_np(
+    C: np.ndarray,
+    row_ind: np.ndarray,
+    col_ind: np.ndarray,
+    tol: float = 1e-12,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Optimal duals from an optimal matching via difference constraints.
+
+    Returns (u, v, reduced).  Raises AssertionError if the reconstruction is
+    infeasible or violates complementary slackness, matching the reference's
+    behaviour (dual_computation.py:66-72).
+    """
+    C = np.asarray(C, dtype=float)
+    m, n = C.shape
+    col_of_row = np.full(m, -1, dtype=np.int64)
+    col_of_row[np.asarray(row_ind)] = np.asarray(col_ind)
+    matched = col_of_row >= 0
+
+    c_match = np.where(matched, C[np.arange(m), np.where(matched, col_of_row, 0)], 0.0)
+    v = np.zeros(n, dtype=float)
+    for _ in range(n):
+        t = c_match - v[np.where(matched, col_of_row, 0)]
+        cand = np.where(matched[:, None], C - t[:, None], np.inf).min(axis=0)
+        v_new = np.minimum(v, cand)
+        if np.all(v_new >= v - tol):
+            v = v_new
+            break
+        v = v_new
+
+    u = np.empty(m, dtype=float)
+    u[matched] = c_match[matched] - v[col_of_row[matched]]
+    if (~matched).any():
+        u[~matched] = (C[~matched] - v[None, :]).min(axis=1)
+
+    # Gauge fix (dual_computation.py:61-64).
+    shift = (u.mean() + v.mean()) / 2.0
+    u -= shift
+    v += shift
+
+    red = C - u[:, None] - v[None, :]
+    if red.min() < -1e-8:
+        raise AssertionError("Dual infeasible after reconstruction")
+    if np.abs(red[np.asarray(row_ind), np.asarray(col_ind)]).max() > 1e-6:
+        raise AssertionError("Complementary slackness violated on matched edge")
+    return u, v, red
+
+
+def oracle_duals_np(
+    C: np.ndarray, noise_level: float = 0.0, noise_seed: int = 42
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Optimal duals with optional Gaussian noise (dual_computation.py:77-115)."""
+    n = C.shape[0]
+    rows, cols = scipy.optimize.linear_sum_assignment(C)
+    try:
+        u, v, _ = duals_from_matching_np(C, rows, cols)
+    except (RuntimeError, AssertionError):
+        u = np.zeros(n, dtype=np.float64)
+        v = np.min(C, axis=0)
+        u[rows] = C[rows, cols] - v[cols]
+    if noise_level > 0:
+        rng = np.random.default_rng(noise_seed)
+        u = u + rng.normal(0.0, noise_level, n)
+        v = v + rng.normal(0.0, noise_level, n)
+    return u.astype(np.float64), v.astype(np.float64)
+
+
+def make_feasible_duals_np(
+    C: np.ndarray,
+    iters: int = 2,
+    noise_std: float = 0.0,
+    project_rounds: int = 2,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Solve -> reconstruct -> (noise) -> project (advanced_dual.py:85-113)."""
+    C = np.asarray(C, dtype=float)
+    rows, cols = scipy.optimize.linear_sum_assignment(C)
+    u, v, _ = duals_from_matching_np(C, rows, cols)
+    if noise_std and noise_std > 0:
+        rng = rng or np.random.default_rng(0)
+        u = u + rng.normal(0.0, noise_std, size=u.shape)
+        v = v + rng.normal(0.0, noise_std, size=v.shape)
+    rounds = max(int(project_rounds), int(iters or 0))
+    return project_feasible_np(C, u, v, max_rounds=max(10, rounds), tol=1e-12)
+
+
+def check_dual_feasible_np(C, u, v, tol: float = 1e-8) -> bool:
+    mn = float((C - u[:, None] - v[None, :]).min())
+    if mn < -tol:
+        raise AssertionError(f"Dual infeasible: min reduced cost {mn:.3e} < -{tol}")
+    return True
+
+
+def check_dual_and_match_np(C, u, v, rows, cols, tol: float = 1e-8) -> bool:
+    red = C - u[:, None] - v[None, :]
+    assert np.all(red >= -tol), "Dual infeasible"
+    assert np.all(np.abs(red[rows, cols]) <= 1e-6), "CS violated on matched edges"
+    return True
+
+
+def reduce_costs_np(C, u, v, shift_nonneg: bool = True) -> np.ndarray:
+    """C' = C - u - v, optionally shifted non-negative (advanced_dual.py:39-53)."""
+    Cp = np.asarray(C, dtype=float) - u[:, None] - v[None, :]
+    if shift_nonneg:
+        m = Cp.min()
+        if m < 0:
+            Cp = Cp - m
+    return np.ascontiguousarray(Cp, dtype=np.float64)
+
+
+def normalize01_np(C: np.ndarray) -> np.ndarray:
+    """Scale costs to [0, 1] (advanced_dual.py:116-125)."""
+    C = np.ascontiguousarray(C, dtype=np.float64)
+    mn, mx = float(C.min()), float(C.max())
+    return (C - mn) / ((mx - mn) if mx > mn else 1.0)

@@ -1,0 +1,116 @@
+"""End-to-end warm-start pipeline: C -> features -> OneGNN -> v-min-trick -> seeded solve.
+
+The production path (reference call stack: scripts/gnn_benchmark.py:213-289 +
+SeededLAPSolver).  Two execution modes:
+
+  * ``device``: the entire pipeline — including the seeded JV solve — runs as
+    one jitted batched program on TPU (solver/seeded.py).
+  * ``hybrid``: dual prediction runs on TPU, the final solve runs in the
+    native C++ solver on the host (float64, bit-exact oracle) — the moral
+    equivalent of the reference's GPU-predict + C++-solve split.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import OneGNN
+from .ops.dual import min_trick_v
+from .ops.features import row_features
+from .solver.seeded import lapjv_seeded_batch
+
+__all__ = ["WarmStartPipeline", "predict_duals_fn"]
+
+
+def predict_duals_fn(model: OneGNN, use_cost_refinement: bool = True):
+    """Build a jittable (params, cost_batch) -> (u, v) function.
+
+    Features, the model forward, and the min-trick column projection fuse into
+    one device program; the returned (u, v) pair is always dual-feasible.
+    """
+
+    @jax.jit
+    def predict(params, cost):
+        feats = row_features(cost)
+        preds = model.apply(
+            params, feats, cost=cost if use_cost_refinement else None
+        )
+        u = preds["u"].astype(cost.dtype)
+        v = min_trick_v(cost, u)
+        return u, v
+
+    return predict
+
+
+class WarmStartPipeline:
+    """Batched GNN-seeded LAP solving.
+
+    Args:
+      model/params: flax OneGNN and trained parameters.
+      mode: 'device' (all-TPU) or 'hybrid' (TPU predict + native C++ solve).
+      eps: seeded-solver tightness epsilon (float64 hybrid path).
+    """
+
+    def __init__(
+        self,
+        model: OneGNN,
+        params,
+        mode: str = "device",
+        eps: float = 1e-12,
+        use_cost_refinement: bool = True,
+    ):
+        if mode not in ("device", "hybrid"):
+            raise ValueError("mode must be 'device' or 'hybrid'")
+        self.model = model
+        self.params = params
+        self.mode = mode
+        self.eps = eps
+        self._predict = predict_duals_fn(model, use_cost_refinement)
+        if mode == "device":
+            self._solve = functools.partial(lapjv_seeded_batch, eps=eps)
+
+    def predict_duals(self, cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, n, n) -> ((B, n) u, (B, n) v), dual-feasible."""
+        return self._predict(self.params, cost)
+
+    def solve(self, cost) -> Dict[str, np.ndarray]:
+        """Solve a batch. Returns dict with col_of_row, cost, used_fallback."""
+        cost_dev = jnp.asarray(cost, jnp.float32)
+        if cost_dev.ndim == 2:
+            cost_dev = cost_dev[None]
+        u, v = self.predict_duals(cost_dev)
+
+        if self.mode == "device":
+            res = self._solve(cost_dev, u, v)
+            return {
+                "col_of_row": np.asarray(res.col_of_row),
+                "cost": np.asarray(res.cost),
+                "used_fallback": np.asarray(res.used_fallback),
+            }
+
+        # Hybrid: float64 native solve per instance with f32-predicted seeds.
+        from .solver.native import lapjv_seeded_native
+
+        u_np = np.asarray(u, np.float64)
+        v_np = np.asarray(v, np.float64)
+        cost_np = np.asarray(cost, np.float64)
+        if cost_np.ndim == 2:
+            cost_np = cost_np[None]
+        xs, costs, fbs = [], [], []
+        for b in range(cost_np.shape[0]):
+            x, _, c, info = lapjv_seeded_native(
+                cost_np[b], u_np[b], v_np[b], eps=self.eps, return_info=True
+            )
+            xs.append(x)
+            costs.append(c)
+            fbs.append(info["used_fallback"])
+        return {
+            "col_of_row": np.stack(xs),
+            "cost": np.asarray(costs),
+            "used_fallback": np.asarray(fbs),
+        }

@@ -1,0 +1,206 @@
+"""Solver abstraction layer: uniform `solve(C) -> (rows, cols, cost)` classes.
+
+Re-creates the reference's solver classes (``/root/reference/solvers/
+scipy_solver.py``, ``lap_solver.py``, ``lapmod_solver.py``,
+``warmstart_solver.py``) over the new backends:
+
+  SciPySolver       - scipy.optimize.linear_sum_assignment (the baseline)
+  LAPSolver         - native C++ cold JV (lapx_dense)
+  SeededLAPSolver   - native C++ warm-started JV (lapx_seeded)
+  JAXSolver         - on-device batched cold JV
+  SeededJAXSolver   - on-device batched warm-started JV
+  LAPMODSolver      - masked/sparse dense solve (forbidden edges -> BIG), the
+                      capability equivalent of the reference's CSR LAPMOD path
+  WarmStartLAPSolver- reduced-cost warm start: cold-solve C' = C - u - v
+                      (warmstart_solver.py:31-63)
+
+All return 0-based (rows, cols, cost) with rows = arange(n).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..ops.host_dual import reduce_costs_np
+
+__all__ = [
+    "SciPySolver",
+    "LAPSolver",
+    "SeededLAPSolver",
+    "JAXSolver",
+    "SeededJAXSolver",
+    "LAPMODSolver",
+    "WarmStartLAPSolver",
+]
+
+Result = Tuple[np.ndarray, np.ndarray, float]
+
+
+class _Base:
+    name = "base"
+
+    def solve(self, C: np.ndarray) -> Result:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class SciPySolver(_Base):
+    """scipy.optimize.linear_sum_assignment wrapper (scipy_solver.py:18-31)."""
+
+    name = "scipy"
+
+    def solve(self, C: np.ndarray) -> Result:
+        import scipy.optimize
+
+        rows, cols = scipy.optimize.linear_sum_assignment(C)
+        return rows, cols, float(C[rows, cols].sum())
+
+
+class LAPSolver(_Base):
+    """Native C++ cold JV (lap_solver.py:33-66 over the lapx backend)."""
+
+    name = "lap"
+
+    def solve(self, C: np.ndarray) -> Result:
+        from .native import lapjv_native
+
+        x, _, cost = lapjv_native(C)
+        n = C.shape[0]
+        return np.arange(n), np.asarray(x, np.int64), cost
+
+
+class SeededLAPSolver(_Base):
+    """Native C++ warm-started JV (lap_solver.py:69-105)."""
+
+    name = "seeded_lap"
+
+    def __init__(self, eps: float = 1e-12):
+        self.eps = eps
+
+    def solve(
+        self, C: np.ndarray, u: Optional[np.ndarray] = None, v: Optional[np.ndarray] = None
+    ) -> Result:
+        from .native import lapjv_seeded_native
+
+        n = C.shape[0]
+        if u is None:
+            u = np.zeros(n)
+        if v is None:
+            v = np.zeros(n)
+        x, _, cost = lapjv_seeded_native(C, u, v, eps=self.eps)
+        return np.arange(n), np.asarray(x, np.int64), cost
+
+
+class JAXSolver(_Base):
+    """On-device batched cold JV (solver/jv.py)."""
+
+    name = "jax"
+
+    def __init__(self, dtype=None):
+        import jax.numpy as jnp
+
+        self.dtype = dtype or jnp.float32
+
+    def solve(self, C: np.ndarray) -> Result:
+        import jax.numpy as jnp
+
+        from .jv import lapjv_batch
+
+        n = C.shape[0]
+        x, _, cost = lapjv_batch(jnp.asarray(C, self.dtype)[None])
+        return np.arange(n), np.asarray(x[0], np.int64), float(cost[0])
+
+
+class SeededJAXSolver(_Base):
+    """On-device batched warm-started JV (solver/seeded.py)."""
+
+    name = "seeded_jax"
+
+    def __init__(self, eps: float = 1e-12, dtype=None):
+        import jax.numpy as jnp
+
+        self.eps = eps
+        self.dtype = dtype or jnp.float32
+
+    def solve(
+        self, C: np.ndarray, u: Optional[np.ndarray] = None, v: Optional[np.ndarray] = None
+    ) -> Result:
+        import jax.numpy as jnp
+
+        from .seeded import lapjv_seeded_batch
+
+        n = C.shape[0]
+        if u is None:
+            u = np.zeros(n)
+        if v is None:
+            v = np.zeros(n)
+        res = lapjv_seeded_batch(
+            jnp.asarray(C, self.dtype)[None],
+            jnp.asarray(u, self.dtype)[None],
+            jnp.asarray(v, self.dtype)[None],
+            eps=self.eps,
+        )
+        return np.arange(n), np.asarray(res.col_of_row[0], np.int64), float(res.cost[0])
+
+
+class LAPMODSolver(_Base):
+    """Sparse-instance solve via sentinel masking.
+
+    The reference converts dense matrices with forbidden edges to CSR and runs
+    its C++ LAPMOD (lapmod_solver.py:47-69), masking forbidden entries to
+    ``lap.LARGE`` and auto-rescaling costs >= 1e6.  This implementation keeps
+    the same semantics on the dense path: entries >= ``forbidden_threshold``
+    are treated as forbidden and clamped to a uniform sentinel before a dense
+    native solve; the reported cost is on the clamped matrix, matching the
+    reference's behaviour of solving the masked problem.
+    """
+
+    name = "lapmod"
+
+    def __init__(self, forbidden_threshold: float = 1e6, sentinel: float = 1e6):
+        self.forbidden_threshold = forbidden_threshold
+        self.sentinel = sentinel
+
+    def solve(self, C: np.ndarray) -> Result:
+        from .native import lapjv_native
+
+        C = np.asarray(C, dtype=np.float64)
+        scale = 1.0
+        finite = C[np.isfinite(C)]
+        if finite.size and finite.max() >= self.forbidden_threshold:
+            Cm = np.where(
+                ~np.isfinite(C) | (C >= self.forbidden_threshold), self.sentinel, C
+            )
+        else:
+            Cm = np.where(~np.isfinite(C), self.sentinel, C)
+        x, _, cost = lapjv_native(Cm)
+        n = C.shape[0]
+        return np.arange(n), np.asarray(x, np.int64), cost * scale
+
+
+class WarmStartLAPSolver(_Base):
+    """Reduced-cost warm start (warmstart_solver.py:31-63).
+
+    Solves the shifted non-negative reduced matrix C' = C - u - v with a cold
+    solver (same optimal assignment as C) and reports the cost on the
+    original C.
+    """
+
+    name = "warmstart_reduced"
+
+    def __init__(self, backend: str = "lap"):
+        self.backend = backend
+
+    def solve(
+        self, C: np.ndarray, u: Optional[np.ndarray] = None, v: Optional[np.ndarray] = None
+    ) -> Result:
+        n = C.shape[0]
+        if u is None:
+            u = np.zeros(n)
+        if v is None:
+            v = np.zeros(n)
+        Cp = reduce_costs_np(C, u, v, shift_nonneg=True)
+        inner = LAPSolver() if self.backend == "lap" else SciPySolver()
+        rows, cols, _ = inner.solve(Cp)
+        return rows, cols, float(np.asarray(C)[rows, cols].sum())

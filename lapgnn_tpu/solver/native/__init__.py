@@ -1,0 +1,145 @@
+"""ctypes bindings for the native lapx solver.
+
+Replaces the reference's Cython binding layer
+(``/root/reference/LAP/lap/_lapjv.pyx`` / ``_seeded_jv.pyx``) with a zero-
+dependency ctypes wrapper around a shared library compiled on first import
+(g++ -O3; cached next to the source keyed by a content hash).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["lapjv_native", "lapjv_seeded_native", "native_available", "NativeSolveError"]
+
+_SRC = Path(__file__).with_name("lapx.cpp")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LOAD_ERROR: Optional[str] = None
+
+
+class NativeSolveError(RuntimeError):
+    pass
+
+
+def _build_and_load() -> ctypes.CDLL:
+    src = _SRC.read_text()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    cache_dir = Path(
+        os.environ.get("LAPGNN_NATIVE_CACHE", Path.home() / ".cache" / "lapgnn_tpu")
+    )
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    so = cache_dir / f"liblapx_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".so.tmp")
+        cmd = [
+            "g++",
+            "-O3",
+            "-march=native",
+            "-std=c++17",
+            "-shared",
+            "-fPIC",
+            str(_SRC),
+            "-o",
+            str(tmp),
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        tmp.replace(so)
+    lib = ctypes.CDLL(str(so))
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.lapx_dense.restype = ctypes.c_int
+    lib.lapx_dense.argtypes = [ctypes.c_int, f64p, i32p, i32p, f64p, f64p]
+    lib.lapx_seeded.restype = ctypes.c_int
+    lib.lapx_seeded.argtypes = [
+        ctypes.c_int,
+        f64p,
+        f64p,
+        f64p,
+        ctypes.c_double,
+        i32p,
+        i32p,
+        i32p,
+        f64p,
+        f64p,
+    ]
+    return lib
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB, _LOAD_ERROR
+    if _LIB is None:
+        with _LOCK:
+            if _LIB is None:
+                try:
+                    _LIB = _build_and_load()
+                except Exception as exc:  # pragma: no cover - toolchain issues
+                    _LOAD_ERROR = str(exc)
+                    raise NativeSolveError(f"native build failed: {exc}") from exc
+    return _LIB
+
+
+def native_available() -> bool:
+    try:
+        _lib()
+        return True
+    except NativeSolveError:
+        return False
+
+
+def lapjv_native(
+    C: np.ndarray, return_duals: bool = False
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Cold optimal solve. Returns (col_of_row, row_of_col, cost[, u, v])."""
+    C = np.ascontiguousarray(C, dtype=np.float64)
+    n = C.shape[0]
+    if C.shape != (n, n):
+        raise ValueError("lapjv_native expects a square matrix")
+    x = np.empty(n, np.int32)
+    y = np.empty(n, np.int32)
+    u = np.empty(n, np.float64)
+    v = np.empty(n, np.float64)
+    rc = _lib().lapx_dense(n, C, x, y, u, v)
+    if rc != 0:
+        raise NativeSolveError(f"lapx_dense failed with code {rc}")
+    cost = float(C[np.arange(n), x].sum())
+    if return_duals:
+        return x, y, cost, u, v
+    return x, y, cost
+
+
+def lapjv_seeded_native(
+    C: np.ndarray,
+    u_seed: np.ndarray,
+    v_seed: np.ndarray,
+    eps: float = 1e-12,
+    return_info: bool = False,
+):
+    """Warm-started solve. Returns (col_of_row, row_of_col, cost[, info])."""
+    C = np.ascontiguousarray(C, dtype=np.float64)
+    n = C.shape[0]
+    if C.shape != (n, n):
+        raise ValueError("lapjv_seeded_native expects a square matrix")
+    u_seed = np.ascontiguousarray(u_seed, dtype=np.float64)
+    v_seed = np.ascontiguousarray(v_seed, dtype=np.float64)
+    x = np.empty(n, np.int32)
+    y = np.empty(n, np.int32)
+    fb = np.zeros(1, np.int32)
+    u = np.empty(n, np.float64)
+    v = np.empty(n, np.float64)
+    rc = _lib().lapx_seeded(n, C, u_seed, v_seed, float(eps), x, y, fb, u, v)
+    if rc != 0:
+        raise NativeSolveError(f"lapx_seeded failed with code {rc}")
+    cost = float(C[np.arange(n), x].sum())
+    if return_info:
+        return x, y, cost, {"used_fallback": bool(fb[0]), "u": u, "v": v}
+    return x, y, cost

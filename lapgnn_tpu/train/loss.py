@@ -1,0 +1,145 @@
+"""Training losses: primal-gap + feasibility hinge + dual regression.
+
+Re-designs the reference's loss (``/root/reference/gnn/train_one_gnn.py:
+137-226`` for OneGNN, ``gnn/train.py:267-308`` for DualGNN).  The reference's
+training bottleneck is ``greedy_primal_upper`` — a per-instance Python loop on
+the host with a GPU->CPU sync per batch element (SURVEY.md §3.2).  Here it is
+a ``lax.scan`` over rows in sorted order, vmapped over the batch, so the whole
+loss is one fused device program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["greedy_primal_upper", "one_gnn_loss", "dual_gnn_loss", "masked_v_proj"]
+
+# Masked-entry sentinel; the reference uses 1e6 after an FP16 overflow fix
+# (train_one_gnn.py:188).
+BIG = 1.0e6
+
+
+def masked_v_proj(
+    cost: jnp.ndarray, u: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Min-trick column duals with mask sentinels (train_one_gnn.py:188-193)."""
+    cm = cost - u[..., :, None]
+    if mask is not None:
+        cm = jnp.where(mask[..., :, None], cm, BIG)
+        cm = jnp.where(mask[..., None, :], cm, BIG)
+    v = jnp.min(cm, axis=-2)
+    if mask is not None:
+        v = jnp.where(mask, v, 0.0)
+    return v
+
+
+def _greedy_single(
+    cost: jnp.ndarray, reduced: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Greedy upper bound for one instance (train_one_gnn.py:137-177).
+
+    Rows are visited in ascending order of their minimum reduced cost; each
+    picks its cheapest (by reduced cost) still-unused column.  Sequential
+    column-claiming is expressed as a ``lax.scan`` with a used-column mask in
+    the carry; each step is a masked argmin — O(n) VPU work per step.
+    """
+    n = cost.shape[-1]
+    inf = jnp.asarray(jnp.inf, reduced.dtype)
+
+    red = reduced
+    if mask is not None:
+        red = jnp.where(mask[:, None] & mask[None, :], red, inf)
+    row_min = jnp.min(red, axis=-1)
+    if mask is not None:
+        row_min = jnp.where(mask, row_min, inf)  # invalid rows visit last
+    order = jnp.argsort(row_min)
+
+    def step(carry, row):
+        used, total = carry
+        r = jnp.where(used, inf, red[row])
+        j = jnp.argmin(r)
+        valid = mask[row] if mask is not None else jnp.asarray(True)
+        used = used | (jax.nn.one_hot(j, n, dtype=jnp.bool_) & valid)
+        total = total + jnp.where(valid, cost[row, j], 0.0)
+        return (used, total), None
+
+    (_, total), _ = lax.scan(
+        step, (jnp.zeros((n,), jnp.bool_), jnp.asarray(0.0, cost.dtype)), order
+    )
+    return total
+
+
+def greedy_primal_upper(
+    cost: jnp.ndarray, reduced: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Batched greedy primal upper bound: (B, n, n) -> (B,)."""
+    if mask is None:
+        return jax.vmap(lambda c, r: _greedy_single(c, r, None))(cost, reduced)
+    return jax.vmap(_greedy_single)(cost, reduced, mask)
+
+
+def _shared_terms(cost, u_pred, mask):
+    mf = mask.astype(cost.dtype) if mask is not None else jnp.ones(cost.shape[:-1], cost.dtype)
+    if mask is not None:
+        u_pred = jnp.where(mask, u_pred, 0.0)
+    v_proj = masked_v_proj(cost, u_pred, mask)
+
+    dual_lower = jnp.sum(u_pred * mf, axis=-1) + jnp.sum(v_proj * mf, axis=-1)
+
+    hinge = jax.nn.relu(u_pred[..., :, None] + v_proj[..., None, :] - cost)
+    if mask is not None:
+        m2 = (mask[..., :, None] & mask[..., None, :]).astype(cost.dtype)
+        hinge = hinge * m2
+        entries = jnp.maximum(jnp.sum(m2, axis=(-2, -1)), 1.0)
+    else:
+        entries = jnp.asarray(cost.shape[-1] * cost.shape[-2], cost.dtype)
+    feas = jnp.sum(hinge, axis=(-2, -1)) / entries
+
+    reduced = cost - u_pred[..., :, None] - v_proj[..., None, :]
+    primal_upper = greedy_primal_upper(cost, reduced, mask)
+    primal_gap = primal_upper - dual_lower
+    return u_pred, v_proj, mf, primal_gap, feas
+
+
+def one_gnn_loss(
+    cost: jnp.ndarray,
+    u_target: jnp.ndarray,
+    preds: Dict[str, jnp.ndarray],
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """loss = mean primal_gap + mean feas + 0.1 * u-MSE (train_one_gnn.py:215-219)."""
+    u_pred, v_proj, mf, primal_gap, feas = _shared_terms(cost, preds["u"], mask)
+    cnt = jnp.maximum(jnp.sum(mf, axis=-1), 1.0)
+    u_reg = jnp.sum((u_pred - u_target) ** 2 * mf, axis=-1) / cnt
+    loss = jnp.mean(primal_gap) + jnp.mean(feas) + 0.1 * jnp.mean(u_reg)
+    metrics = {
+        "primal_gap": primal_gap,
+        "feas": feas,
+        "u_mse": u_reg,
+        "v_proj": v_proj,
+    }
+    return loss, metrics
+
+
+def dual_gnn_loss(
+    cost: jnp.ndarray,
+    preds: Dict[str, jnp.ndarray],
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """loss = mean primal_gap + mean feas + 0.1 * MSE(v_hint, v_proj)
+    (train.py:299-301)."""
+    u_pred, v_proj, mf, primal_gap, feas = _shared_terms(cost, preds["u"], mask)
+    cnt = jnp.maximum(jnp.sum(mf, axis=-1), 1.0)
+    v_reg = jnp.sum((preds["v_hint"] - v_proj) ** 2 * mf, axis=-1) / cnt
+    loss = jnp.mean(primal_gap) + jnp.mean(feas) + 0.1 * jnp.mean(v_reg)
+    metrics = {
+        "primal_gap": primal_gap,
+        "feas": feas,
+        "v_mse": v_reg,
+        "v_proj": v_proj,
+    }
+    return loss, metrics

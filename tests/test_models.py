@@ -1,0 +1,111 @@
+"""Model tests: OneGNN / DualGNN shapes, gauge, masking, refinement path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lapgnn_tpu.data.generators import FAMILIES
+from lapgnn_tpu.models import DualGNN, OneGNN
+from lapgnn_tpu.ops.features import graph_features, row_features
+
+
+@pytest.fixture(scope="module")
+def one_gnn_setup():
+    rng = np.random.default_rng(0)
+    C = np.stack([FAMILIES["uniform"](24, rng) for _ in range(2)]).astype(np.float32)
+    feats = row_features(jnp.asarray(C))
+    model = OneGNN(hidden=32, layers=2, dropout=0.1, topk=8)
+    params = model.init(jax.random.key(0), feats, cost=jnp.asarray(C))
+    return model, params, feats, jnp.asarray(C)
+
+
+def test_one_gnn_output_shape_and_gauge(one_gnn_setup):
+    model, params, feats, C = one_gnn_setup
+    out = model.apply(params, feats, cost=C)
+    u = np.asarray(out["u"])
+    assert u.shape == (2, 24)
+    np.testing.assert_allclose(u.mean(axis=1), 0.0, atol=1e-5)
+
+
+def test_one_gnn_without_cost_skips_refinement(one_gnn_setup):
+    model, params, feats, C = one_gnn_setup
+    out_plain = model.apply(params, feats)
+    out_ref = model.apply(params, feats, cost=C)
+    # The refinement must actually change the output.
+    assert not np.allclose(np.asarray(out_plain["u"]), np.asarray(out_ref["u"]))
+
+
+def test_one_gnn_mask_zeroes_invalid(one_gnn_setup):
+    model, params, feats, C = one_gnn_setup
+    mask = jnp.asarray(np.array([[True] * 20 + [False] * 4, [True] * 24]))
+    out = model.apply(params, feats, cost=C, mask=mask)
+    u = np.asarray(out["u"])
+    np.testing.assert_allclose(u[0, 20:], 0.0)
+
+
+def test_one_gnn_dropout_stochastic(one_gnn_setup):
+    model, params, feats, C = one_gnn_setup
+    out1 = model.apply(
+        params, feats, cost=C, deterministic=False,
+        rngs={"dropout": jax.random.key(1)},
+    )
+    out2 = model.apply(
+        params, feats, cost=C, deterministic=False,
+        rngs={"dropout": jax.random.key(2)},
+    )
+    assert not np.allclose(np.asarray(out1["u"]), np.asarray(out2["u"]))
+
+
+def test_one_gnn_jit_and_grad(one_gnn_setup):
+    model, params, feats, C = one_gnn_setup
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(p, feats, cost=C)
+        return jnp.sum(out["u"] ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+@pytest.fixture(scope="module")
+def dual_gnn_setup():
+    rng = np.random.default_rng(1)
+    C = np.stack([FAMILIES["uniform"](12, rng) for _ in range(2)]).astype(np.float32)
+    gf = graph_features(jnp.asarray(C))
+    model = DualGNN(hidden_dim=32, layers=2, heads=4, dropout=0.0)
+    params = model.init(jax.random.key(0), gf.edge_feat, gf.row_feat, gf.col_feat)
+    return model, params, gf
+
+
+def test_dual_gnn_shapes_and_gauge(dual_gnn_setup):
+    model, params, gf = dual_gnn_setup
+    out = model.apply(params, gf.edge_feat, gf.row_feat, gf.col_feat)
+    u = np.asarray(out["u"])
+    v = np.asarray(out["v_hint"])
+    assert u.shape == (2, 12) and v.shape == (2, 12)
+    np.testing.assert_allclose(u.mean(axis=1), 0.0, atol=1e-5)
+
+
+def test_dual_gnn_mask(dual_gnn_setup):
+    model, params, gf = dual_gnn_setup
+    mask = jnp.asarray(np.array([[True] * 9 + [False] * 3, [True] * 12]))
+    out = model.apply(params, gf.edge_feat, gf.row_feat, gf.col_feat, mask)
+    np.testing.assert_allclose(np.asarray(out["u"])[0, 9:], 0.0)
+    np.testing.assert_allclose(np.asarray(out["v_hint"])[0, 9:], 0.0)
+
+
+def test_dual_gnn_grad(dual_gnn_setup):
+    model, params, gf = dual_gnn_setup
+
+    def loss_fn(p):
+        out = model.apply(p, gf.edge_feat, gf.row_feat, gf.col_feat)
+        return jnp.sum(out["u"] ** 2) + jnp.sum(out["v_hint"] ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    assert all(
+        np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
+    )

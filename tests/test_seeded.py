@@ -1,0 +1,124 @@
+"""Seeded JV tests: optimality under any seed quality, fallback behaviour."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from lapgnn_tpu.data.generators import FAMILIES
+from lapgnn_tpu.ops.host_dual import oracle_duals_np, project_feasible_np
+from lapgnn_tpu.solver.seeded import (
+    greedy_tight_matching,
+    lapjv_seeded_batch,
+    lapjv_seeded_single,
+)
+
+_seeded = jax.jit(lapjv_seeded_single)
+
+
+def _opt(C):
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    return C[r, c].sum()
+
+
+def _assert_optimal(C, u, v, atol=1e-9):
+    res = _seeded(jnp.asarray(C), jnp.asarray(u), jnp.asarray(v))
+    opt = _opt(C)
+    n = C.shape[0]
+    x = np.asarray(res.col_of_row)
+    assert sorted(x.tolist()) == list(range(n))
+    assert abs(float(res.cost) - opt) <= atol * max(1.0, abs(opt))
+    return res
+
+
+@pytest.mark.parametrize("fam", ["uniform", "metric", "tie", "sparse", "low_rank"])
+def test_zero_seed_still_optimal(fam):
+    """Zero seed == cold solve equivalence (LAP/test_seeded.py:6-47)."""
+    rng = np.random.default_rng(1)
+    C = FAMILIES[fam](48, rng)
+    _assert_optimal(C, np.zeros(48), np.zeros(48))
+
+
+@pytest.mark.parametrize("fam", ["uniform", "tie", "sparse", "block"])
+def test_oracle_seed_optimal_no_fallback(fam):
+    rng = np.random.default_rng(2)
+    C = FAMILIES[fam](64, rng)
+    u, v = oracle_duals_np(C)
+    res = _assert_optimal(C, u, v)
+    assert not bool(res.used_fallback), "oracle duals must not trigger fallback"
+
+
+@pytest.mark.parametrize("noise", [0.05, 0.2, 1.0])
+def test_noisy_seed_optimal(noise):
+    """Noise only affects speed, never optimality (main_benchmark noise sweep)."""
+    rng = np.random.default_rng(3)
+    C = FAMILIES["uniform"](48, rng)
+    u, v = oracle_duals_np(C, noise_level=noise)
+    u, v = project_feasible_np(C, u, v)
+    _assert_optimal(C, u, v)
+
+
+def test_garbage_seed_optimal_via_fallback():
+    rng = np.random.default_rng(4)
+    C = FAMILIES["uniform"](40, rng)
+    u = rng.normal(0, 100, 40)
+    v = rng.normal(0, 100, 40)
+    _assert_optimal(C, u, v)
+
+
+def test_infeasible_seed_projected_not_error():
+    """Design deviation from the reference: the projection guarantees
+    feasibility, so no -3 error path exists (lapjv_seeded.cpp:51-53)."""
+    rng = np.random.default_rng(5)
+    C = FAMILIES["uniform"](16, rng)
+    u = np.full(16, 10.0)  # grossly infeasible: u+v >> C
+    v = np.full(16, 10.0)
+    _assert_optimal(C, u, v)
+
+
+def test_batch_seeded(rng):
+    Cs = np.stack([FAMILIES["uniform"](24, rng) for _ in range(3)])
+    us, vs = [], []
+    for b in range(3):
+        u, v = oracle_duals_np(Cs[b])
+        us.append(u)
+        vs.append(v)
+    res = lapjv_seeded_batch(jnp.asarray(Cs), jnp.asarray(us), jnp.asarray(vs))
+    for b in range(3):
+        assert abs(float(res.cost[b]) - _opt(Cs[b])) < 1e-9
+
+
+def test_greedy_tight_matching_maximal():
+    """The greedy phase must return a maximal matching on the tight graph."""
+    rng = np.random.default_rng(6)
+    tight = rng.random((32, 32)) < 0.15
+    x, y = greedy_tight_matching(jnp.asarray(tight))
+    x, y = np.asarray(x), np.asarray(y)
+    for i, j in enumerate(x):
+        if j >= 0:
+            assert tight[i, j] and y[j] == i
+    # Maximality: no free row has a tight edge to a free column.
+    free_rows = x < 0
+    free_cols = y < 0
+    assert not tight[np.ix_(free_rows, free_cols)].any()
+
+
+def test_greedy_tight_matching_degenerate_all_tight():
+    """All-tight matrix (ties everywhere) must still fully match quickly."""
+    tight = jnp.ones((64, 64), bool)
+    x, y = greedy_tight_matching(tight)
+    assert (np.asarray(x) >= 0).all()
+    assert sorted(np.asarray(x).tolist()) == list(range(64))
+
+
+def test_seeded_float32():
+    rng = np.random.default_rng(8)
+    C = FAMILIES["uniform"](48, rng)
+    u, v = oracle_duals_np(C)
+    res = _seeded(
+        jnp.asarray(C, jnp.float32),
+        jnp.asarray(u, jnp.float32),
+        jnp.asarray(v, jnp.float32),
+    )
+    assert abs(float(res.cost) - _opt(C)) < 1e-3
