@@ -1,0 +1,105 @@
+"""Model evaluation: dual quality, assist rate, and solver speedup metrics.
+
+Re-creates ``/root/reference/gnn/eval.py:83-170``.  Per instance:
+  * predict (u, v) with the pipeline (min-trick guarantees feasibility),
+  * dual feasibility check and u/v MSE+MAE vs oracle duals,
+  * pre-solve greedy primal gap (eval.py:28-66,150-153),
+  * wall-clock of cold native JV vs seeded native JV with the predicted
+    duals -> speedup, and assist_rate = fraction of instances where the
+    seeded result matches the optimal cost to <= 1e-6 (eval.py:159-170;
+    with this solver design the assist rate is 1.0 by construction — the
+    seeded solver is exact — so it doubles as a correctness assertion).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.dual import check_dual_feasible
+from .pipeline import WarmStartPipeline
+from .train.loss import greedy_primal_upper
+
+__all__ = ["evaluate_pipeline"]
+
+
+def evaluate_pipeline(
+    pipe: WarmStartPipeline,
+    instances: Sequence[Dict[str, np.ndarray]],
+    time_solvers: bool = True,
+    repeats: int = 3,
+) -> Dict[str, float]:
+    """Evaluate over instance dicts with keys cost/u/v/opt_cost."""
+    from .solver.native import lapjv_native, lapjv_seeded_native
+
+    feasible = []
+    u_mse, v_mse, u_mae, v_mae = [], [], [], []
+    presolve_gap = []
+    speedups = []
+    assists = []
+    fallbacks = []
+
+    for inst in instances:
+        C = np.asarray(inst["cost"], np.float64)
+        n = C.shape[0]
+        Cd = jnp.asarray(C, jnp.float32)[None]
+        u_pred, v_pred = pipe.predict_duals(Cd)
+        u_np = np.asarray(u_pred[0], np.float64)
+        v_np = np.asarray(v_pred[0], np.float64)
+
+        feasible.append(
+            bool(
+                check_dual_feasible(
+                    jnp.asarray(C), jnp.asarray(u_np), jnp.asarray(v_np), tol=1e-5
+                )
+            )
+        )
+        u_star, v_star = np.asarray(inst["u"]), np.asarray(inst["v"])
+        u_mse.append(float(np.mean((u_np - u_star) ** 2)))
+        v_mse.append(float(np.mean((v_np - v_star) ** 2)))
+        u_mae.append(float(np.mean(np.abs(u_np - u_star))))
+        v_mae.append(float(np.mean(np.abs(v_np - v_star))))
+
+        red = C - u_np[:, None] - v_np[None, :]
+        ub = float(
+            greedy_primal_upper(jnp.asarray(C)[None], jnp.asarray(red)[None])[0]
+        )
+        opt = float(inst.get("opt_cost", ub))
+        presolve_gap.append(ub - opt)
+
+        x, _, cost_seeded, info = lapjv_seeded_native(
+            C, u_np, v_np, return_info=True
+        )
+        assists.append(abs(cost_seeded - opt) <= 1e-6 * max(1.0, abs(opt)))
+        fallbacks.append(info["used_fallback"])
+
+        if time_solvers:
+            ts, tc = [], []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                lapjv_native(C)
+                tc.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                lapjv_seeded_native(C, u_np, v_np)
+                ts.append(time.perf_counter() - t0)
+            speedups.append(float(np.median(tc) / np.median(ts)))
+
+    out = {
+        "num_instances": len(instances),
+        "feasible_rate": float(np.mean(feasible)),
+        "assist_rate": float(np.mean(assists)),
+        "fallback_rate": float(np.mean(fallbacks)),
+        "u_mse": float(np.mean(u_mse)),
+        "v_mse": float(np.mean(v_mse)),
+        "u_mae": float(np.mean(u_mae)),
+        "v_mae": float(np.mean(v_mae)),
+        "presolve_gap_mean": float(np.mean(presolve_gap)),
+        "presolve_gap_median": float(np.median(presolve_gap)),
+    }
+    if speedups:
+        out["seeded_vs_cold_speedup_mean"] = float(np.mean(speedups))
+        out["seeded_vs_cold_speedup_median"] = float(np.median(speedups))
+    return out

@@ -1,0 +1,247 @@
+"""Progressive multi-size curriculum training (YAML-driven).
+
+Re-designs ``/root/reference/gnn/train_progressive_clean.py:38-658``:
+  * ``DatasetSpec`` — name/path/size/weight/curriculum_start_epoch (:38-45)
+  * ``RoundRobinSampler`` — per-epoch active datasets by curriculum epoch,
+    round-robin ``batches_per_size`` batches each, size-dependent batch sizes
+    (<=1024 -> 32, <=2048 -> 16, <=4096 -> 8), reshuffle-on-exhaust (:91-179)
+  * same loss as the OneGNN trainer + u/v MAE aux metrics (:280-333)
+  * per-split validation capped at 50 instances, early stop on the average
+    primal-gap median across splits (:571-621)
+  * best/last checkpoints carrying optimizer state and the full config
+    (:599-633); optional warm init from a previous checkpoint (:461-473).
+
+Every batch is size-homogeneous, so each (batch_size, n) pair jit-traces once
+and the whole curriculum runs from a handful of compiled programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import OneGNN
+from .checkpoint import save_checkpoint
+from .schedule import make_optimizer, warmup_cosine
+from .trainer import State, make_eval_step, make_train_step
+
+__all__ = ["DatasetSpec", "RoundRobinSampler", "train_progressive", "default_batch_size"]
+
+# Size-dependent batch-size rules (train_progressive_clean.py:128-143).
+BATCH_SIZE_RULES: List[Tuple[int, int]] = [(1024, 32), (2048, 16), (4096, 8)]
+
+
+def default_batch_size(n: int, rules: Optional[Sequence[Tuple[int, int]]] = None) -> int:
+    for bound, bs in rules or BATCH_SIZE_RULES:
+        if n <= bound:
+            return bs
+    return 4
+
+
+@dataclasses.dataclass
+class DatasetSpec:
+    name: str
+    size: int
+    instances: Sequence[Dict[str, np.ndarray]]
+    weight: float = 1.0
+    curriculum_start_epoch: int = 0
+    val_instances: Optional[Sequence[Dict[str, np.ndarray]]] = None
+
+
+class RoundRobinSampler:
+    """Yields (spec, batch arrays) round-robin over active datasets."""
+
+    def __init__(
+        self,
+        specs: Sequence[DatasetSpec],
+        batches_per_size: int = 6,
+        batch_size_rules: Optional[Sequence[Tuple[int, int]]] = None,
+        seed: int = 0,
+    ):
+        self.specs = list(specs)
+        self.batches_per_size = batches_per_size
+        self.rules = batch_size_rules
+        self.rng = np.random.default_rng(seed)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _batches_for(self, spec: DatasetSpec) -> List[np.ndarray]:
+        bs = default_batch_size(spec.size, self.rules)
+        order = self.rng.permutation(len(spec.instances))
+        return [order[i : i + bs] for i in range(0, len(order), bs)]
+
+    def __iter__(self) -> Iterator[Tuple[DatasetSpec, np.ndarray, np.ndarray]]:
+        active = [s for s in self.specs if s.curriculum_start_epoch <= self.epoch]
+        if not active:
+            return
+        queues = {s.name: self._batches_for(s) for s in active}
+        exhausted = {s.name: False for s in active}
+        while not all(exhausted.values()):
+            for spec in active:
+                if exhausted[spec.name]:
+                    continue
+                for _ in range(self.batches_per_size):
+                    if not queues[spec.name]:
+                        exhausted[spec.name] = True
+                        break
+                    idx = queues[spec.name].pop()
+                    insts = [spec.instances[i] for i in idx]
+                    cost = np.stack([x["cost"] for x in insts]).astype(np.float32)
+                    u = np.stack([x["u"] for x in insts]).astype(np.float32)
+                    yield spec, cost, u
+
+
+def train_progressive(
+    config: Dict,
+    specs: Sequence[DatasetSpec],
+    init_params=None,
+    log_fn=print,
+):
+    """Run the curriculum. ``config`` follows progressive_clean_config.yaml
+    shape: model / optimizer / sampling / training / checkpointing keys.
+
+    Returns (best_params, history).
+    """
+    mcfg = config.get("model", {})
+    ocfg = config.get("optimizer", {})
+    scfg = config.get("sampling", {})
+    tcfg = config.get("training", {})
+    ccfg = config.get("checkpointing", {})
+
+    model = OneGNN(
+        hidden=int(mcfg.get("hidden", 64)),
+        layers=int(mcfg.get("layers", 2)),
+        dropout=float(mcfg.get("dropout", 0.1)),
+        topk=int(mcfg.get("topk", 16)),
+    )
+    use_cost = bool(mcfg.get("use_cost_refinement", False))
+
+    epochs = int(tcfg.get("epochs", 40))
+    min_epochs = int(tcfg.get("min_epochs", 10))
+    patience = int(tcfg.get("patience", 6))
+
+    sampler = RoundRobinSampler(
+        specs,
+        batches_per_size=int(scfg.get("batches_per_size", 6)),
+        seed=int(tcfg.get("seed", 0)),
+    )
+
+    # Rough steps/epoch estimate for the schedule.
+    steps_per_epoch = sum(
+        -(-len(s.instances) // default_batch_size(s.size)) for s in specs
+    )
+    total_steps = max(1, steps_per_epoch * epochs)
+    schedule = warmup_cosine(
+        float(ocfg.get("lr", 1e-3)),
+        int(float(ocfg.get("warmup_frac", 0.1)) * total_steps),
+        total_steps,
+        float(ocfg.get("min_lr", 0.0)),
+    )
+    tx = make_optimizer(
+        schedule,
+        float(ocfg.get("weight_decay", 1e-4)),
+        float(ocfg.get("grad_clip", 1.0)),
+    )
+
+    # Init params on the smallest dataset.
+    from ..ops.features import row_features
+
+    smallest = min(specs, key=lambda s: s.size)
+    sample_cost = jnp.asarray(
+        smallest.instances[0]["cost"][None], jnp.float32
+    )
+    key = jax.random.key(int(tcfg.get("seed", 0)))
+    if init_params is None:
+        params = model.init(
+            key,
+            row_features(sample_cost),
+            cost=sample_cost if use_cost else None,
+        )
+    else:
+        params = init_params
+    state = State(params, tx.init(params), jnp.asarray(0))
+
+    train_step = make_train_step(model, tx, use_cost)
+    eval_step = make_eval_step(model, use_cost)
+
+    out_dir = Path(ccfg.get("output_dir", "artifacts/progressive"))
+    meta_base = {
+        "architecture": "one_gnn",
+        "hidden": model.hidden,
+        "layers": model.layers,
+        "dropout": model.dropout,
+        "topk": model.topk,
+        "use_cost_refinement": use_cost,
+        "row_feat_dim": 21,
+        "config": config,
+    }
+
+    history = {"train_loss": [], "val_gap_median_avg": []}
+    best = {"gap": float("inf"), "params": jax.device_get(state.params)}
+    bad = 0
+
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        sampler.set_epoch(epoch)
+        losses = []
+        for spec, cost, u in sampler:
+            key, sub = jax.random.split(key)
+            state, m = train_step(state, jnp.asarray(cost), jnp.asarray(u), sub)
+            losses.append(float(m["loss"]))
+        history["train_loss"].append(float(np.mean(losses)) if losses else 0.0)
+
+        # Per-split validation (<= 50 instances each, :571-588).
+        split_medians = []
+        for spec in specs:
+            vals = spec.val_instances or []
+            if not vals or spec.curriculum_start_epoch > epoch:
+                continue
+            gaps = []
+            bs = default_batch_size(spec.size)
+            for s in range(0, min(len(vals), 50), bs):
+                chunk = vals[s : s + bs]
+                cost = jnp.asarray(
+                    np.stack([x["cost"] for x in chunk]), jnp.float32
+                )
+                u = jnp.asarray(np.stack([x["u"] for x in chunk]), jnp.float32)
+                m = eval_step(state.params, cost, u)
+                gaps.extend(np.asarray(m["primal_gap"]).tolist())
+            if gaps:
+                split_medians.append(float(np.median(gaps)))
+
+        gap_avg = float(np.mean(split_medians)) if split_medians else float("inf")
+        history["val_gap_median_avg"].append(gap_avg)
+        log_fn(
+            f"epoch {epoch}: loss={history['train_loss'][-1]:.4f} "
+            f"val_gap_med_avg={gap_avg:.4f} ({time.perf_counter() - t0:.1f}s)"
+        )
+
+        save_checkpoint(
+            out_dir / "last",
+            jax.device_get(state.params),
+            {**meta_base, "epoch": epoch, "val_gap_median_avg": gap_avg},
+            opt_state=jax.device_get(state.opt_state),
+        )
+        if gap_avg < best["gap"] - 1e-9:
+            best = {"gap": gap_avg, "params": jax.device_get(state.params)}
+            bad = 0
+            save_checkpoint(
+                out_dir / "best",
+                best["params"],
+                {**meta_base, "epoch": epoch, "val_gap_median_avg": gap_avg},
+            )
+        elif epoch + 1 >= min_epochs:
+            bad += 1
+            if bad >= patience:
+                log_fn(f"early stop at epoch {epoch}")
+                break
+
+    return best["params"], history
