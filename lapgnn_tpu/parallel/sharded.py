@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.dual import min_trick_v
 from ..ops.features import row_features
@@ -71,7 +71,7 @@ def shmap_col_min(mesh: Mesh, axis: str = "model"):
         mesh=mesh,
         in_specs=(P(axis, None),),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def col_min(C_blk):
         return lax.pmin(jnp.min(C_blk, axis=0), axis)
@@ -87,7 +87,7 @@ def shmap_min_trick(mesh: Mesh, axis: str = "model"):
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def mt(C_blk, u_blk):
         local = jnp.min(C_blk - u_blk[:, None], axis=0)

@@ -76,6 +76,11 @@ class RoundRobinSampler:
     def _batches_for(self, spec: DatasetSpec) -> List[np.ndarray]:
         bs = default_batch_size(spec.size, self.rules)
         order = self.rng.permutation(len(spec.instances))
+        if len(order) % bs and len(order) > bs:
+            # Pad the tail batch by wrapping so every batch has the same
+            # shape — one jit trace per (batch, n), no remainder recompiles.
+            pad = bs - (len(order) % bs)
+            order = np.concatenate([order, order[:pad]])
         return [order[i : i + bs] for i in range(0, len(order), bs)]
 
     def __iter__(self) -> Iterator[Tuple[DatasetSpec, np.ndarray, np.ndarray]]:

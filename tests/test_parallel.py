@@ -1,0 +1,107 @@
+"""Distribution-layer tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lapgnn_tpu.data.generators import FAMILIES
+from lapgnn_tpu.models import OneGNN
+from lapgnn_tpu.ops.features import row_features
+from lapgnn_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    make_sharded_predict,
+    shmap_col_min,
+    shmap_min_trick,
+)
+from lapgnn_tpu.train.schedule import make_optimizer
+from lapgnn_tpu.train.trainer import State
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh_all = make_mesh(model=2)
+    assert mesh_all.shape["data"] * 2 == len(jax.devices())
+
+
+@requires_8
+def test_shmap_col_min_matches_dense(rng):
+    mesh = make_mesh(data=1, model=8)
+    C = FAMILIES["uniform"](64, rng)
+    with mesh:
+        got = shmap_col_min(mesh)(jnp.asarray(C))
+    np.testing.assert_allclose(np.asarray(got), C.min(axis=0), atol=1e-12)
+
+
+@requires_8
+def test_shmap_min_trick_matches_dense(rng):
+    mesh = make_mesh(data=1, model=8)
+    C = FAMILIES["uniform"](64, rng)
+    u = rng.normal(0, 0.3, 64)
+    with mesh:
+        got = shmap_min_trick(mesh)(jnp.asarray(C), jnp.asarray(u))
+    np.testing.assert_allclose(
+        np.asarray(got), (C - u[:, None]).min(axis=0), atol=1e-12
+    )
+
+
+@requires_8
+def test_sharded_predict_matches_single_device(rng):
+    mesh = make_mesh(data=2, model=4)
+    n, batch = 32, 4
+    C = np.stack([FAMILIES["uniform"](n, rng) for _ in range(batch)]).astype(
+        np.float32
+    )
+    model = OneGNN(hidden=32, layers=1)
+    Cd = jnp.asarray(C)
+    params = model.init(jax.random.key(0), row_features(Cd), cost=Cd)
+
+    # Single-device reference.
+    from lapgnn_tpu.pipeline import predict_duals_fn
+
+    u_ref, v_ref = predict_duals_fn(model)(params, Cd)
+
+    predict = make_sharded_predict(model, mesh)
+    with mesh:
+        u, v = predict(params, Cd)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+
+
+@requires_8
+def test_dp_train_step_runs_and_matches_replicated(rng):
+    mesh = make_mesh(data=4, model=2)
+    n, batch = 16, 8
+    C = np.stack([FAMILIES["uniform"](n, rng) for _ in range(batch)]).astype(
+        np.float32
+    )
+    u_t = rng.normal(0, 0.1, (batch, n)).astype(np.float32)
+
+    model = OneGNN(hidden=16, layers=1)
+    Cd = jnp.asarray(C)
+    params = model.init(jax.random.key(0), row_features(Cd), cost=Cd)
+    tx = make_optimizer(1e-3)
+
+    # Replicated single-device step for comparison.
+    from lapgnn_tpu.train.trainer import make_train_step
+
+    ref_step = make_train_step(model, tx, use_cost=True)
+    ref_state = State(params, tx.init(params), jnp.asarray(0))
+    ref_state, ref_m = ref_step(ref_state, Cd, jnp.asarray(u_t), jax.random.key(1))
+
+    dp_step = make_dp_train_step(model, tx, mesh, use_cost=True, shard_rows=True)
+    state = State(params, tx.init(params), jnp.asarray(0))
+    with mesh:
+        state, m = dp_step(state, Cd, jnp.asarray(u_t), jax.random.key(1))
+
+    assert np.isfinite(float(m["loss"]))
+    # Same data, same rng => same loss (sharding must not change numerics
+    # beyond f32 reduction order).
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]), rtol=1e-4)

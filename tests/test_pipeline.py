@@ -1,0 +1,127 @@
+"""End-to-end pipeline + evaluation + progressive-trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from lapgnn_tpu.data.generators import FAMILIES
+from lapgnn_tpu.data.synthetic import generate_synthetic_instance
+from lapgnn_tpu.models import OneGNN
+from lapgnn_tpu.ops.features import row_features
+from lapgnn_tpu.pipeline import WarmStartPipeline
+from lapgnn_tpu.train.progressive import (
+    DatasetSpec,
+    RoundRobinSampler,
+    default_batch_size,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = OneGNN(hidden=16, layers=1, topk=4)
+    rng = np.random.default_rng(0)
+    C = jnp.asarray(rng.uniform(0, 1, (1, 16, 16)), jnp.float32)
+    params = model.init(jax.random.key(0), row_features(C), cost=C)
+    return model, params
+
+
+@pytest.mark.parametrize("mode", ["device", "hybrid"])
+def test_pipeline_exact_optimality_untrained(tiny_model, mode, rng):
+    """Even with an untrained model the pipeline must be exactly optimal
+    (the solver's quality gate guarantees it)."""
+    model, params = tiny_model
+    pipe = WarmStartPipeline(model, params, mode=mode)
+    C = np.stack([FAMILIES["uniform"](16, rng) for _ in range(2)])
+    out = pipe.solve(C)
+    for b in range(2):
+        r, c = scipy.optimize.linear_sum_assignment(C[b])
+        opt = C[b][r, c].sum()
+        got = C[b][np.arange(16), out["col_of_row"][b]].sum()
+        assert abs(got - opt) < 1e-4 * max(1, abs(opt))
+
+
+def test_pipeline_duals_always_feasible(tiny_model, rng):
+    model, params = tiny_model
+    pipe = WarmStartPipeline(model, params)
+    C = jnp.asarray(np.stack([FAMILIES["uniform"](16, rng)]), jnp.float32)
+    u, v = pipe.predict_duals(C)
+    red = np.asarray(C[0]) - np.asarray(u[0])[:, None] - np.asarray(v[0])[None, :]
+    assert red.min() >= -1e-5
+
+
+def test_evaluation_metrics(tiny_model):
+    model, params = tiny_model
+    pipe = WarmStartPipeline(model, params, mode="hybrid")
+    rng = np.random.default_rng(1)
+    insts = []
+    for _ in range(3):
+        s = generate_synthetic_instance("uniform", 16, rng)
+        insts.append(
+            {
+                "cost": s.cost,
+                "u": s.u,
+                "v": s.v,
+                "opt_cost": float(s.cost[s.rows, s.cols].sum()),
+            }
+        )
+    from lapgnn_tpu.evaluation import evaluate_pipeline
+
+    m = evaluate_pipeline(pipe, insts, time_solvers=False)
+    assert m["assist_rate"] == 1.0  # exactness by construction
+    assert m["feasible_rate"] == 1.0
+    assert np.isfinite(m["u_mse"])
+
+
+def test_default_batch_size_rules():
+    assert default_batch_size(512) == 32
+    assert default_batch_size(1024) == 32
+    assert default_batch_size(2048) == 16
+    assert default_batch_size(4096) == 8
+    assert default_batch_size(8192) == 4
+
+
+def _mk_spec(name, size, count, start, rng):
+    insts = [
+        {"cost": FAMILIES["uniform"](size, rng), "u": np.zeros(size)}
+        for _ in range(count)
+    ]
+    return DatasetSpec(
+        name=name, size=size, instances=insts, curriculum_start_epoch=start
+    )
+
+
+def test_round_robin_sampler_curriculum(rng):
+    specs = [
+        _mk_spec("a", 8, 10, 0, rng),
+        _mk_spec("b", 16, 10, 2, rng),
+    ]
+    sampler = RoundRobinSampler(specs, batches_per_size=2, seed=0)
+
+    sampler.set_epoch(0)
+    names0 = {spec.name for spec, _, _ in sampler}
+    assert names0 == {"a"}  # b is gated by curriculum_start_epoch
+
+    sampler.set_epoch(2)
+    names2 = {spec.name for spec, _, _ in sampler}
+    assert names2 == {"a", "b"}
+
+
+def test_round_robin_sampler_covers_all_instances(rng):
+    specs = [_mk_spec("a", 8, 7, 0, rng)]
+    sampler = RoundRobinSampler(specs, batches_per_size=2, seed=0)
+    sampler.set_epoch(0)
+    total = sum(batch_cost.shape[0] for _, batch_cost, _ in sampler)
+    assert total == 7
+
+
+def test_round_robin_batches_are_size_homogeneous(rng):
+    specs = [
+        _mk_spec("a", 8, 5, 0, rng),
+        _mk_spec("b", 16, 5, 0, rng),
+    ]
+    sampler = RoundRobinSampler(specs, batches_per_size=1, seed=0)
+    sampler.set_epoch(0)
+    for spec, cost, u in sampler:
+        assert cost.shape[1] == cost.shape[2] == spec.size
