@@ -1,0 +1,76 @@
+"""DualGNN training CLI (equivalent of /root/reference/gnn/train.py:311-419).
+
+Example:
+  python -m lapgnn_tpu.cli.train_dual_gnn --train data/mid512/train.h5 \
+      --val data/mid512/val.h5 --epochs 10 --output artifacts/dual_gnn
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train", type=Path, required=True, nargs="+")
+    p.add_argument("--val", type=Path, nargs="*", default=[])
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", type=Path, required=True)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from ..data.h5io import H5Reader
+    from ..train.checkpoint import save_checkpoint
+    from ..train.dual_trainer import DualTrainConfig, train_dual_gnn
+
+    def load_all(paths):
+        out = []
+        for path in paths:
+            with H5Reader(path) as r:
+                out.extend(list(r.iter()))
+        return out
+
+    train_insts = load_all(args.train)
+    val_insts = load_all(args.val) if args.val else None
+    print(f"train: {len(train_insts)} val: {len(val_insts or [])}")
+
+    cfg = DualTrainConfig(
+        hidden=args.hidden,
+        layers=args.layers,
+        heads=args.heads,
+        dropout=args.dropout,
+        lr=args.lr,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        seed=args.seed,
+    )
+    params, history = train_dual_gnn(train_insts, val_insts, cfg)
+    save_checkpoint(
+        args.output,
+        params,
+        {
+            "architecture": "dual_gnn",
+            "hidden": args.hidden,
+            "layers": args.layers,
+            "heads": args.heads,
+            "dropout": args.dropout,
+            "node_feat_dim": 14,
+            "edge_feat_dim": 10,
+            "history": history,
+        },
+    )
+    print(f"saved checkpoint to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Trainer tests: OneGNN + DualGNN loops actually learn; checkpoints roundtrip."""
+
+import jax
+import numpy as np
+import pytest
+
+from lapgnn_tpu.data.synthetic import generate_synthetic_instance
+from lapgnn_tpu.train.checkpoint import (
+    build_model_from_meta,
+    load_checkpoint,
+    save_checkpoint,
+)
+from lapgnn_tpu.train.schedule import make_optimizer, warmup_cosine
+from lapgnn_tpu.train.trainer import BucketBatcher, TrainConfig, train_one_gnn
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    rng = np.random.default_rng(0)
+    insts = []
+    for _ in range(12):
+        s = generate_synthetic_instance("uniform", 12, rng)
+        insts.append({"cost": s.cost, "u": s.u, "v": s.v, "n": 12})
+    return insts
+
+
+def test_bucket_batcher_shapes(tiny_dataset):
+    b = BucketBatcher(tiny_dataset, batch_size=5, seed=0)
+    batches = list(b)
+    assert sum(c.shape[0] for c, _, _ in batches) == 12
+    for cost, u, v in batches:
+        assert cost.shape[1:] == (12, 12)
+        assert u.shape == (cost.shape[0], 12)
+
+
+def test_train_one_gnn_reduces_loss(tiny_dataset):
+    cfg = TrainConfig(
+        hidden=16, layers=1, epochs=8, batch_size=6, min_epochs=8, patience=3,
+        lr=3e-3, dropout=0.0,
+    )
+    params, history = train_one_gnn(tiny_dataset, None, cfg, log_fn=lambda s: None)
+    losses = history["train_loss"]
+    assert len(losses) == 8
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_train_with_validation_early_stop(tiny_dataset):
+    cfg = TrainConfig(
+        hidden=16, layers=1, epochs=4, batch_size=6, min_epochs=1, patience=1,
+        dropout=0.0,
+    )
+    params, history = train_one_gnn(
+        tiny_dataset[:8], tiny_dataset[8:], cfg, log_fn=lambda s: None
+    )
+    assert len(history["val_gap_median"]) >= 1
+
+
+def test_warmup_cosine_shape():
+    sched = warmup_cosine(1e-3, warmup_steps=10, total_steps=100, min_lr=1e-5)
+    assert float(sched(0)) < 1e-4
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert float(sched(100)) <= 1e-4
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_dataset):
+    import jax.numpy as jnp
+
+    from lapgnn_tpu.models import OneGNN
+    from lapgnn_tpu.ops.features import row_features
+
+    model = OneGNN(hidden=16, layers=1)
+    C = jnp.asarray(tiny_dataset[0]["cost"][None], jnp.float32)
+    params = model.init(jax.random.key(0), row_features(C), cost=C)
+    meta = {"architecture": "one_gnn", "hidden": 16, "layers": 1, "topk": 16,
+            "dropout": 0.1}
+    save_checkpoint(tmp_path / "ckpt", jax.device_get(params), meta)
+
+    params2, meta2, _ = load_checkpoint(tmp_path / "ckpt")
+    model2 = build_model_from_meta(meta2)
+    out1 = model.apply(params, row_features(C), cost=C)
+    out2 = model2.apply(params2, row_features(C), cost=C)
+    np.testing.assert_allclose(
+        np.asarray(out1["u"]), np.asarray(out2["u"]), atol=1e-6
+    )
+
+
+def test_checkpoint_dual_gnn_meta_roundtrip(tmp_path):
+    from lapgnn_tpu.models import DualGNN
+
+    meta = {"architecture": "dual_gnn", "hidden": 32, "layers": 2, "heads": 4}
+    model = build_model_from_meta(meta)
+    assert isinstance(model, DualGNN)
+    assert model.hidden_dim == 32
+
+
+def test_dual_trainer_single_epoch():
+    from lapgnn_tpu.train.dual_trainer import DualTrainConfig, train_dual_gnn
+
+    rng = np.random.default_rng(1)
+    insts = []
+    for _ in range(4):
+        s = generate_synthetic_instance("uniform", 8, rng)
+        insts.append({"cost": s.cost, "u": s.u, "v": s.v, "n": 8})
+    cfg = DualTrainConfig(hidden=16, layers=1, heads=2, epochs=2, batch_size=4,
+                          dropout=0.0)
+    params, history = train_dual_gnn(insts, None, cfg, log_fn=lambda s: None)
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(l) for l in history["train_loss"])
