@@ -90,13 +90,16 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         t_scipy = float(np.median(ts))
 
-        # Pipeline timing (end to end: H2D + predict + solve + D2H sync).
+        # Pipeline timing (end to end: H2D transfer + predict + solve + D2H
+        # sync — matches the reference's inclusion of the host->device copy,
+        # scripts/gnn_benchmark.py:235-258).
+        C32 = np.asarray(C, np.float32)
         for _ in range(WARMUPS):
-            pipe.solve(Cd)
+            pipe.solve(C32)
         tp = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            out = pipe.solve(Cd)
+            out = pipe.solve(C32)
             tp.append(time.perf_counter() - t0)
         t_pipe = float(np.median(tp))
 
