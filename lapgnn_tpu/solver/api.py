@@ -145,15 +145,14 @@ class SeededJAXSolver(_Base):
 
 
 class LAPMODSolver(_Base):
-    """Sparse-instance solve via sentinel masking.
+    """Sparse-instance solve on the real CSR path.
 
-    The reference converts dense matrices with forbidden edges to CSR and runs
-    its C++ LAPMOD (lapmod_solver.py:47-69), masking forbidden entries to
-    ``lap.LARGE`` and auto-rescaling costs >= 1e6.  This implementation keeps
-    the same semantics on the dense path: entries >= ``forbidden_threshold``
-    are treated as forbidden and clamped to a uniform sentinel before a dense
-    native solve; the reported cost is on the clamped matrix, matching the
-    reference's behaviour of solving the masked problem.
+    Converts a dense matrix with forbidden edges (entries >= threshold or
+    non-finite) to CSR and runs the native sparse solver
+    (solver/native lapx_sparse — the LAPMOD capability, reference
+    lapmod_solver.py:47-69 + lapmod.cpp).  Falls back to a dense solve with
+    sentinel clamping when the sparse instance has no perfect matching on
+    allowed edges alone (the reference's LARGE-masked behaviour).
     """
 
     name = "lapmod"
@@ -163,20 +162,24 @@ class LAPMODSolver(_Base):
         self.sentinel = sentinel
 
     def solve(self, C: np.ndarray) -> Result:
-        from .native import lapjv_native
+        from .native import (
+            NativeSolveError,
+            lapjv_native,
+            lapmod_native,
+            sparse_from_dense,
+        )
 
         C = np.asarray(C, dtype=np.float64)
-        scale = 1.0
-        finite = C[np.isfinite(C)]
-        if finite.size and finite.max() >= self.forbidden_threshold:
+        n = C.shape[0]
+        row_ptr, col_idx, values = sparse_from_dense(C, self.forbidden_threshold)
+        try:
+            x, _, cost = lapmod_native(n, row_ptr, col_idx, values)
+        except NativeSolveError:
             Cm = np.where(
                 ~np.isfinite(C) | (C >= self.forbidden_threshold), self.sentinel, C
             )
-        else:
-            Cm = np.where(~np.isfinite(C), self.sentinel, C)
-        x, _, cost = lapjv_native(Cm)
-        n = C.shape[0]
-        return np.arange(n), np.asarray(x, np.int64), cost * scale
+            x, _, cost = lapjv_native(Cm)
+        return np.arange(n), np.asarray(x, np.int64), cost
 
 
 class WarmStartLAPSolver(_Base):

@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["lapjv_native", "lapjv_seeded_native", "native_available", "NativeSolveError"]
+__all__ = ["lapjv_native", "lapjv_seeded_native", "lapmod_native", "sparse_from_dense", "native_available", "NativeSolveError"]
 
 _SRC = Path(__file__).with_name("lapx.cpp")
 _LOCK = threading.Lock()
@@ -143,3 +143,69 @@ def lapjv_seeded_native(
     if return_info:
         return x, y, cost, {"used_fallback": bool(fb[0]), "u": u, "v": v}
     return x, y, cost
+
+
+def _bind_sparse(lib: "ctypes.CDLL") -> None:
+    if getattr(lib, "_sparse_bound", False):
+        return
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.lapx_sparse.restype = ctypes.c_int
+    lib.lapx_sparse.argtypes = [
+        ctypes.c_int, i32p, i32p, f64p, i32p, i32p, f64p, f64p,
+    ]
+    lib._sparse_bound = True
+
+
+def lapmod_native(
+    n: int,
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    values: np.ndarray,
+    return_duals: bool = False,
+):
+    """Sparse CSR solve (LAPMOD capability: reference LAP/_lapjv_cpp/lapmod.cpp).
+
+    Args mirror lap.lapmod's CSR triplet (row_ptr has n+1 entries).  Raises
+    NativeSolveError(-3) if the allowed edges admit no perfect matching.
+    Returns (col_of_row, row_of_col, cost[, u, v]).
+    """
+    lib = _lib()
+    _bind_sparse(lib)
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    values = np.ascontiguousarray(values, np.float64)
+    if row_ptr.shape[0] != n + 1:
+        raise ValueError("row_ptr must have n+1 entries")
+    x = np.empty(n, np.int32)
+    y = np.empty(n, np.int32)
+    u = np.empty(n, np.float64)
+    v = np.empty(n, np.float64)
+    rc = lib.lapx_sparse(n, row_ptr, col_idx, values, x, y, u, v)
+    if rc != 0:
+        raise NativeSolveError(f"lapx_sparse failed with code {rc}"
+                               + (" (infeasible)" if rc == -3 else ""))
+    # Cost from CSR entries of the matched edges.
+    cost = 0.0
+    for i in range(n):
+        seg = slice(row_ptr[i], row_ptr[i + 1])
+        k = np.nonzero(col_idx[seg] == x[i])[0]
+        cost += float(values[seg][k[0]])
+    if return_duals:
+        return x, y, cost, u, v
+    return x, y, cost
+
+
+def sparse_from_dense(
+    C: np.ndarray, forbidden_threshold: float = 1e6
+):
+    """Dense -> CSR dropping entries >= threshold (lapmod_solver.py:47-69)."""
+    C = np.asarray(C, np.float64)
+    n = C.shape[0]
+    keep = np.isfinite(C) & (C < forbidden_threshold)
+    counts = keep.sum(axis=1).astype(np.int32)
+    row_ptr = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=row_ptr[1:])
+    col_idx = np.nonzero(keep)[1].astype(np.int32)
+    values = C[keep].astype(np.float64)
+    return row_ptr, col_idx, values

@@ -340,3 +340,155 @@ int lapx_seeded(int n, const double* C, const double* u_seed,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sparse (CSR) solver — capability equivalent of the reference's LAPMOD
+// (/root/reference/LAP/_lapjv_cpp/lapmod.cpp). Costs are given row-major CSR;
+// absent entries are forbidden edges. Returns -3 if no perfect matching on
+// the allowed edges exists.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SparseProblem {
+  int n;
+  const int32_t* row_ptr;  // n+1
+  const int32_t* col_idx;  // nnz
+  const double* val;       // nnz
+};
+
+// Sparse column reduction: every column's potential is its cheapest incident
+// edge; rows uniquely claimed keep their edge.
+void sparse_column_reduce(const SparseProblem& P, vector<int>& x, vector<int>& y,
+                          vector<double>& v) {
+  const int n = P.n;
+  vector<int> best_row(n, -1);
+  for (int j = 0; j < n; ++j) v[j] = INF;
+  for (int i = 0; i < n; ++i) {
+    for (int32_t k = P.row_ptr[i]; k < P.row_ptr[i + 1]; ++k) {
+      const int j = P.col_idx[k];
+      if (P.val[k] < v[j]) {
+        v[j] = P.val[k];
+        best_row[j] = i;
+      }
+    }
+  }
+  for (int j = n - 1; j >= 0; --j) {
+    const int i = best_row[j];
+    if (i >= 0 && x[i] < 0) {
+      x[i] = j;
+      y[j] = i;
+    }
+  }
+  // Columns no row can reach keep v = 0 so they do not poison the duals.
+  for (int j = 0; j < n; ++j)
+    if (v[j] == INF) v[j] = 0.0;
+}
+
+// Sparse Dijkstra augmenting path from one free row.
+int sparse_augment_from(const SparseProblem& P, int free_row, vector<int>& x,
+                        vector<int>& y, vector<double>& v) {
+  const int n = P.n;
+  vector<double> d(n, INF);
+  vector<int> pred(n, free_row);
+  vector<char> settled(n, 0);
+
+  for (int32_t k = P.row_ptr[free_row]; k < P.row_ptr[free_row + 1]; ++k) {
+    const int j = P.col_idx[k];
+    d[j] = P.val[k] - v[j];
+  }
+
+  int sink = -1;
+  double sink_dist = 0.0;
+  for (int iter = 0; iter <= n; ++iter) {
+    int jmin = -1;
+    double dmin = INF;
+    for (int j = 0; j < n; ++j) {
+      if (!settled[j] && d[j] < dmin) {
+        dmin = d[j];
+        jmin = j;
+      }
+    }
+    if (jmin < 0) return -3;  // no reachable free column: infeasible
+
+    const int owner = y[jmin];
+    if (owner < 0) {
+      sink = jmin;
+      sink_dist = dmin;
+      break;
+    }
+    settled[jmin] = 1;
+    // Slack of the owner at its matched column jmin.
+    double owner_match_slack = INF;
+    for (int32_t k = P.row_ptr[owner]; k < P.row_ptr[owner + 1]; ++k) {
+      if (P.col_idx[k] == jmin) {
+        owner_match_slack = P.val[k] - v[jmin];
+        break;
+      }
+    }
+    const double base = dmin - owner_match_slack;
+    for (int32_t k = P.row_ptr[owner]; k < P.row_ptr[owner + 1]; ++k) {
+      const int j = P.col_idx[k];
+      if (settled[j]) continue;
+      const double cand = base + (P.val[k] - v[j]);
+      if (cand < d[j]) {
+        d[j] = cand;
+        pred[j] = owner;
+      }
+    }
+  }
+  if (sink < 0) return -3;
+
+  for (int j = 0; j < n; ++j)
+    if (settled[j]) v[j] += d[j] - sink_dist;
+
+  int j = sink;
+  for (int guard = 0; guard <= n; ++guard) {
+    const int i = pred[j];
+    y[j] = i;
+    std::swap(x[i], j);
+    if (i == free_row) return 0;
+  }
+  return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+int lapx_sparse(int n, const int32_t* row_ptr, const int32_t* col_idx,
+                const double* val, int32_t* x_out, int32_t* y_out,
+                double* u_out, double* v_out) {
+  if (n <= 0 || !row_ptr || !col_idx || !val || !x_out || !y_out) return -2;
+  SparseProblem P{n, row_ptr, col_idx, val};
+  vector<int> x(n, -1), y(n, -1);
+  vector<double> v(n, 0.0);
+
+  sparse_column_reduce(P, x, y, v);
+  for (int i = 0; i < n; ++i) {
+    if (x[i] >= 0) continue;
+    const int rc = sparse_augment_from(P, i, x, y, v);
+    if (rc != 0) return rc;
+  }
+
+  for (int i = 0; i < n; ++i) {
+    x_out[i] = x[i];
+    if (u_out) {
+      double u = 0.0;
+      for (int32_t k = row_ptr[i]; k < row_ptr[i + 1]; ++k) {
+        if (col_idx[k] == x[i]) {
+          u = val[k] - v[col_idx[k]];
+          break;
+        }
+      }
+      u_out[i] = u;
+    }
+  }
+  for (int j = 0; j < n; ++j) {
+    y_out[j] = y[j];
+    if (v_out) v_out[j] = v[j];
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -74,3 +74,36 @@ def test_native_agrees_with_jax_solver():
     _, _, cost_native = native.lapjv_native(C)
     _, _, cost_jax = lapjv_single(jnp.asarray(C))
     assert abs(cost_native - float(cost_jax)) < 1e-9
+
+
+def test_sparse_lapmod_matches_dense():
+    rng = np.random.default_rng(5)
+    C = FAMILIES["sparse"](60, rng)  # forbidden edges at 1e6
+    row_ptr, col_idx, values = native.sparse_from_dense(C, forbidden_threshold=1e5)
+    x, y, cost = native.lapmod_native(60, row_ptr, col_idx, values)
+    # If the sparse instance is feasible on allowed edges only, the sparse
+    # optimum equals the dense optimum (dense never picks a 1e6 edge when a
+    # feasible allowed-edge matching exists and costs are < 1).
+    assert sorted(x.tolist()) == list(range(60))
+    dense_opt = _opt(C)
+    if dense_opt < 1e5:  # dense solution used only allowed edges
+        assert abs(cost - dense_opt) < 1e-8
+
+
+def test_sparse_lapmod_duals_certify():
+    rng = np.random.default_rng(6)
+    C = FAMILIES["uniform"](40, rng)
+    row_ptr, col_idx, values = native.sparse_from_dense(C)
+    x, y, cost, u, v = native.lapmod_native(40, row_ptr, col_idx, values, return_duals=True)
+    red = C - u[:, None] - v[None, :]
+    assert red.min() >= -1e-9
+    assert abs(cost - _opt(C)) < 1e-9
+
+
+def test_sparse_lapmod_infeasible_raises():
+    # Two rows that can only use the same single column -> no perfect matching.
+    row_ptr = np.array([0, 1, 2], np.int32)
+    col_idx = np.array([0, 0], np.int32)
+    values = np.array([1.0, 2.0])
+    with pytest.raises(native.NativeSolveError):
+        native.lapmod_native(2, row_ptr, col_idx, values)
