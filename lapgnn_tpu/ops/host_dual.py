@@ -167,3 +167,52 @@ def normalize01_np(C: np.ndarray) -> np.ndarray:
     C = np.ascontiguousarray(C, dtype=np.float64)
     mn, mx = float(C.min()), float(C.max())
     return (C - mn) / ((mx - mn) if mx > mn else 1.0)
+
+
+def affine_invariance_check(
+    solve_fn, n: int = 64, trials: int = 3, seed: int = 0
+) -> bool:
+    """Validate cost(aC + b) == a*cost(C) + b*n over random affine maps.
+
+    Mirrors advanced_dual.py:128-160 — catches fundamental solver bugs.
+    ``solve_fn(C) -> (rows, cols, cost)``.
+    """
+    rng = np.random.default_rng(seed)
+    ok = True
+    for _ in range(trials):
+        C = rng.uniform(0.0, 1.0, (n, n))
+        _, _, cost = solve_fn(C)
+        a = 10.0 ** rng.uniform(-2, 2)
+        b = float(rng.uniform(-3.0, 3.0))
+        _, _, cost2 = solve_fn(a * C + b)
+        if not np.isclose(cost2, a * cost + b * n, rtol=1e-9, atol=1e-9):
+            ok = False
+    return ok
+
+
+def print_env_summary() -> dict:
+    """Environment snapshot for reproducibility (advanced_dual.py:163-170)."""
+    import os
+    import platform
+
+    import scipy
+
+    env = {
+        k: os.environ.get(k)
+        for k in (
+            "OMP_NUM_THREADS",
+            "MKL_NUM_THREADS",
+            "OPENBLAS_NUM_THREADS",
+            "NUMEXPR_NUM_THREADS",
+            "JAX_PLATFORMS",
+            "PYTHONHASHSEED",
+        )
+    }
+    info = {
+        "env": env,
+        "python": platform.python_version(),
+        "numpy": np.__version__,
+        "scipy": scipy.__version__,
+    }
+    print(f"[env] {info}")
+    return info

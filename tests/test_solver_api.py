@@ -72,3 +72,40 @@ def test_timing_harness_failure_is_graceful():
     stats = time_rigorous(boom, warmups=1, repeats=2)
     assert not stats["success"]
     assert "nope" in stats["error"]
+
+
+def test_seed_baselines_feasible_and_speed_solver():
+    from lapgnn_tpu.ops.host_dual import check_dual_feasible_np
+    from lapgnn_tpu.solver.seed_baselines import (
+        seed_greedy_matching,
+        seed_noisy_optimal,
+        seed_row_col_minima,
+    )
+
+    rng = np.random.default_rng(0)
+    C = FAMILIES["uniform"](32, rng)
+    for fn in (
+        lambda: seed_row_col_minima(C),
+        lambda: seed_greedy_matching(C, rng=rng),
+        lambda: seed_noisy_optimal(C, rng=rng),
+    ):
+        u, v = fn()
+        check_dual_feasible_np(C, u, v, tol=1e-8)
+        # Seeded solve with any baseline seed stays exactly optimal.
+        rows, cols, cost = SeededLAPSolver().solve(C, u=u, v=v)
+        _, _, opt = SciPySolver().solve(C)
+        assert abs(cost - opt) < 1e-9
+
+
+def test_affine_invariance_check_all_solvers():
+    from lapgnn_tpu.ops.host_dual import affine_invariance_check
+
+    assert affine_invariance_check(SciPySolver().solve, n=32)
+    assert affine_invariance_check(LAPSolver().solve, n=32)
+
+
+def test_print_env_summary_runs(capsys):
+    from lapgnn_tpu.ops.host_dual import print_env_summary
+
+    info = print_env_summary()
+    assert "numpy" in info
