@@ -63,6 +63,7 @@ class WarmStartPipeline:
         mode: str = "device",
         eps: float = 1e-12,
         use_cost_refinement: bool = True,
+        gate: str = "free_rows",
     ):
         if mode not in ("device", "hybrid"):
             raise ValueError("mode must be 'device' or 'hybrid'")
@@ -72,7 +73,10 @@ class WarmStartPipeline:
         self.eps = eps
         self._predict = predict_duals_fn(model, use_cost_refinement)
         if mode == "device":
-            self._solve = functools.partial(lapjv_seeded_batch, eps=eps)
+            # Min-trick seeds make every column tight, so the direct
+            # free-rows gate avoids the reference density gate's spurious
+            # cold fallbacks (see lapjv_seeded_single docstring).
+            self._solve = functools.partial(lapjv_seeded_batch, eps=eps, gate=gate)
 
     def predict_duals(self, cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, n, n) -> ((B, n) u, (B, n) v), dual-feasible."""

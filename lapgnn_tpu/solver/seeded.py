@@ -192,11 +192,23 @@ def lapjv_seeded_single(
     v_seed: jnp.ndarray,
     eps: float = 1e-12,
     project_rounds: int = 2,
+    gate: str = "density",
+    free_rows_frac: float = 0.5,
 ) -> SeededResult:
     """Warm-started dense JV solve for one square instance.
 
     Mirrors lapjv_seeded.cpp:19-173 end to end; exactly optimal regardless of
     seed quality (a bad seed only costs time via the cold fallback).
+
+    ``gate`` selects the cold-fallback criterion:
+      * "density": tight-edge count < 1.2 n (reference-faithful,
+        lapjv_seeded.cpp:116).  Overly conservative for min-trick seeds —
+        tightening guarantees ~n tight edges that may form a near-perfect
+        matching while still failing the 1.2 n count.
+      * "free_rows": fall back only if the greedy tight matching leaves more
+        than ``free_rows_frac`` of the rows unmatched — a direct measure of
+        the augmentation work remaining (new in this framework).
+      * "never": always run the warm path (still exactly optimal).
     """
     n = C.shape[-1]
     tight_eps = jnp.asarray(max(eps, default_tight_eps(C.dtype)), C.dtype)
@@ -213,15 +225,24 @@ def lapjv_seeded_single(
     red = C - u[:, None] - v[None, :]
     tight = jnp.abs(red) <= tight_eps
 
-    # Seed-quality gate (lapjv_seeded.cpp:104-125).
-    n_tight = jnp.sum(tight.astype(jnp.float32))
-    use_fallback = n_tight < jnp.asarray(FALLBACK_DENSITY * n, jnp.float32)
+    x, y = greedy_tight_matching(tight)
+
+    if gate == "density":
+        # Seed-quality gate (lapjv_seeded.cpp:104-125).
+        n_tight = jnp.sum(tight.astype(jnp.float32))
+        use_fallback = n_tight < jnp.asarray(FALLBACK_DENSITY * n, jnp.float32)
+    elif gate == "free_rows":
+        n_free = jnp.sum((x < 0).astype(jnp.float32))
+        use_fallback = n_free > jnp.asarray(free_rows_frac * n, jnp.float32)
+    elif gate == "never":
+        use_fallback = jnp.asarray(False)
+    else:
+        raise ValueError(f"unknown gate '{gate}'")
 
     def cold(_):
         return column_reduction(C)
 
     def warm(_):
-        x, y = greedy_tight_matching(tight)
         v_adj = _micro_arr(red, v, x, y, tight_eps)
         return Matching(col_of_row=x, row_of_col=y, v=v_adj)
 
@@ -235,16 +256,24 @@ def lapjv_seeded_single(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "project_rounds"))
+@functools.partial(
+    jax.jit, static_argnames=("eps", "project_rounds", "gate", "free_rows_frac")
+)
 def lapjv_seeded_batch(
     C: jnp.ndarray,
     u_seed: jnp.ndarray,
     v_seed: jnp.ndarray,
     eps: float = 1e-12,
     project_rounds: int = 2,
+    gate: str = "density",
+    free_rows_frac: float = 0.5,
 ) -> SeededResult:
     """vmapped batched seeded solve over (B, n, n) with (B, n) seeds."""
     fn = functools.partial(
-        lapjv_seeded_single, eps=eps, project_rounds=project_rounds
+        lapjv_seeded_single,
+        eps=eps,
+        project_rounds=project_rounds,
+        gate=gate,
+        free_rows_frac=free_rows_frac,
     )
     return jax.vmap(fn)(C, u_seed, v_seed)

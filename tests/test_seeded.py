@@ -122,3 +122,35 @@ def test_seeded_float32():
         jnp.asarray(v, jnp.float32),
     )
     assert abs(float(res.cost) - _opt(C)) < 1e-3
+
+
+@pytest.mark.parametrize("gate", ["density", "free_rows", "never"])
+def test_gates_all_exactly_optimal(gate):
+    """Every gate mode stays exactly optimal for good, noisy, and garbage seeds."""
+    rng = np.random.default_rng(10)
+    C = FAMILIES["uniform"](40, rng)
+    seeds = [
+        oracle_duals_np(C),
+        project_feasible_np(C, *oracle_duals_np(C, noise_level=0.3)),
+        (rng.normal(0, 50, 40), rng.normal(0, 50, 40)),
+    ]
+    for u, v in seeds:
+        res = lapjv_seeded_single(
+            jnp.asarray(C), jnp.asarray(u), jnp.asarray(v), gate=gate
+        )
+        assert abs(float(res.cost) - _opt(C)) < 1e-9
+
+
+def test_free_rows_gate_avoids_spurious_fallback():
+    """A min-trick seed from decent-but-noisy u must not fall back under the
+    free-rows gate even when the density gate would trigger."""
+    rng = np.random.default_rng(11)
+    C = FAMILIES["uniform"](64, rng)
+    u_star, _ = oracle_duals_np(C)
+    u = u_star + rng.normal(0, 0.02, 64)
+    v = (C - u[:, None]).min(axis=0)  # min-trick
+    res_fr = lapjv_seeded_single(
+        jnp.asarray(C), jnp.asarray(u), jnp.asarray(v), gate="free_rows"
+    )
+    assert not bool(res_fr.used_fallback)
+    assert abs(float(res_fr.cost) - _opt(C)) < 1e-9
