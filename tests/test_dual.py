@@ -97,3 +97,24 @@ def test_dual_objective_lower_bound():
     u, v = H.oracle_duals_np(C, noise_level=0.0)
     obj = float(D.dual_objective(jnp.asarray(u), jnp.asarray(v)))
     assert obj <= C[r, c].sum() + 1e-8
+
+
+def test_pad_cost_matrix_preserves_optimum():
+    import jax.numpy as jnp
+    import scipy.optimize
+
+    from lapgnn_tpu.ops.padding import pad_batch, pad_cost_matrix, unpad_assignment
+    from lapgnn_tpu.solver.jv import lapjv_single
+
+    rng = np.random.default_rng(0)
+    C = FAMILIES["uniform"](13, rng)
+    P = pad_cost_matrix(C, 16)
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    x, y, cost = lapjv_single(jnp.asarray(P))
+    assert abs(float(cost) - C[r, c].sum()) < 1e-9
+    x_valid = unpad_assignment(np.asarray(x), 13)
+    assert sorted(x_valid.tolist()) == list(range(13))
+
+    batch, mask = pad_batch([C, FAMILIES["uniform"](16, rng)])
+    assert batch.shape == (2, 16, 16)
+    assert mask[0].sum() == 13 and mask[1].sum() == 16
