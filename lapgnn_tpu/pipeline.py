@@ -68,15 +68,61 @@ class WarmStartPipeline:
         if mode not in ("device", "hybrid"):
             raise ValueError("mode must be 'device' or 'hybrid'")
         self.model = model
-        self.params = params
+        # Checkpoint params arrive as host NumPy; commit them to the device
+        # once — otherwise every call re-uploads ~20 arrays, each paying the
+        # transport's per-transfer latency.
+        self.params = jax.device_put(params)
         self.mode = mode
         self.eps = eps
+        self.gate = gate
         self._predict = predict_duals_fn(model, use_cost_refinement)
         if mode == "device":
             # Min-trick seeds make every column tight, so the direct
             # free-rows gate avoids the reference density gate's spurious
             # cold fallbacks (see lapjv_seeded_single docstring).
             self._solve = functools.partial(lapjv_seeded_batch, eps=eps, gate=gate)
+            self._e2e = self._build_e2e(model, use_cost_refinement, eps, gate)
+
+    def _build_e2e(self, model, use_cost_refinement, eps, gate):
+        """One fused device program: features -> model -> min-trick -> seeded
+        solve -> packed result.
+
+        Two host-interface optimisations matter on a remote-attached TPU:
+        (a) everything between H2D and D2H is a single dispatch, and (b) the
+        outputs (assignment, cost, fallback flag) are packed into ONE float32
+        buffer so the device->host readback pays a single latency (small D2H
+        transfers cost tens of ms each through the transport).  For batch
+        size 1 the solver runs unvmapped — under vmap ``lax.cond`` lowers to
+        executing *both* branches, doubling the while-loop work.
+        """
+        from .solver.seeded import lapjv_seeded_single
+
+        single = functools.partial(lapjv_seeded_single, eps=eps, gate=gate)
+
+        @jax.jit
+        def e2e(params, cost):
+            feats = row_features(cost)
+            preds = model.apply(
+                params, feats, cost=cost if use_cost_refinement else None
+            )
+            u = preds["u"].astype(cost.dtype)
+            v = min_trick_v(cost, u)
+            if cost.shape[0] == 1:
+                res1 = single(cost[0], u[0], v[0])
+                res = jax.tree_util.tree_map(lambda a: a[None], res1)
+            else:
+                res = jax.vmap(single)(cost, u, v)
+            packed = jnp.concatenate(
+                [
+                    res.cost[:, None].astype(jnp.float32),
+                    res.used_fallback[:, None].astype(jnp.float32),
+                    res.col_of_row.astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            return packed
+
+        return e2e
 
     def predict_duals(self, cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, n, n) -> ((B, n) u, (B, n) v), dual-feasible."""
@@ -87,15 +133,17 @@ class WarmStartPipeline:
         cost_dev = jnp.asarray(cost, jnp.float32)
         if cost_dev.ndim == 2:
             cost_dev = cost_dev[None]
-        u, v = self.predict_duals(cost_dev)
 
         if self.mode == "device":
-            res = self._solve(cost_dev, u, v)
+            packed = np.asarray(self._e2e(self.params, cost_dev))
+            n = cost_dev.shape[-1]
             return {
-                "col_of_row": np.asarray(res.col_of_row),
-                "cost": np.asarray(res.cost),
-                "used_fallback": np.asarray(res.used_fallback),
+                "col_of_row": packed[:, 2:].astype(np.int64),
+                "cost": packed[:, 0].astype(np.float64),
+                "used_fallback": packed[:, 1] > 0.5,
             }
+
+        u, v = self.predict_duals(cost_dev)
 
         # Hybrid: float64 native solve per instance with f32-predicted seeds.
         from .solver.native import lapjv_seeded_native

@@ -35,7 +35,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["column_reduction", "augment_all", "lapjv_single", "lapjv_batch", "matching_cost"]
+__all__ = [
+    "column_reduction",
+    "augment_all",
+    "augment_all_multisource",
+    "augment_all_sweep",
+    "lapjv_single",
+    "lapjv_batch",
+    "matching_cost",
+]
 
 INT = jnp.int32
 
@@ -207,10 +215,238 @@ def augment_all(C: jnp.ndarray, m: Matching) -> Matching:
     return lax.while_loop(cond, body, m)
 
 
+class _MSDState(NamedTuple):
+    d: jnp.ndarray
+    pred: jnp.ndarray
+    scanned: jnp.ndarray
+    final_j: jnp.ndarray
+    mind: jnp.ndarray
+    steps: jnp.ndarray
+
+
+def _multisource_path(
+    C: jnp.ndarray, free_row: jnp.ndarray, row_of_col: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dijkstra from ALL free rows simultaneously to the nearest free column.
+
+    Equivalent to running find_path_dense from a virtual super-source joined
+    to every free row (each normalised by its implicit potential u_f =
+    min_j (C_fj - v_j), so every free row contributes a zero-distance column).
+    The nearest free column over all sources is found in far fewer pops than
+    a single-source search, and the classical settled-set dual update applies
+    unchanged.  ``free_row`` is a boolean mask.
+    """
+    n = C.shape[-1]
+    inf = jnp.asarray(jnp.inf, C.dtype)
+
+    red = C - v[None, :]
+    u_free = jnp.min(jnp.where(free_row[:, None], red, inf), axis=1)
+    norm = jnp.where(free_row[:, None], red - u_free[:, None], inf)
+    d0 = jnp.min(norm, axis=0)
+    pred0 = jnp.argmin(norm, axis=0).astype(INT)
+
+    init = _MSDState(
+        d=d0,
+        pred=pred0,
+        scanned=jnp.zeros((n,), jnp.bool_),
+        final_j=jnp.asarray(-1, INT),
+        mind=jnp.asarray(0, C.dtype),
+        steps=jnp.asarray(0, INT),
+    )
+
+    def cond(s: _MSDState):
+        return (s.final_j < 0) & (s.steps <= n)
+
+    def body(s: _MSDState) -> _MSDState:
+        d_open = jnp.where(s.scanned, inf, s.d)
+        j = jnp.argmin(d_open).astype(INT)
+        mind = d_open[j]
+        i = row_of_col[j]
+
+        def on_free(s):
+            return s._replace(final_j=j, mind=mind, steps=s.steps + 1)
+
+        def on_matched(s):
+            scanned = s.scanned.at[j].set(True)
+            h = C[i, j] - v[j] - mind
+            cand = C[i] - v - h
+            improve = (~scanned) & (cand < s.d)
+            d = jnp.where(improve, cand, s.d)
+            pred = jnp.where(improve, i, s.pred)
+            return _MSDState(d, pred, scanned, s.final_j, mind, s.steps + 1)
+
+        return lax.cond(i < 0, on_free, on_matched, s)
+
+    s = lax.while_loop(cond, body, init)
+    v_new = jnp.where(s.scanned, v + s.d - s.mind, v)
+    return s.final_j, s.pred, v_new
+
+
+def _flip_to_source(
+    final_j: jnp.ndarray,
+    pred: jnp.ndarray,
+    col_of_row: jnp.ndarray,
+    row_of_col: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flip the alternating path back to whichever free row it reaches."""
+    n = pred.shape[0]
+
+    def cond(state):
+        j, x, y, done, k = state
+        return (~done) & (k <= n)
+
+    def body(state):
+        j, x, y, done, k = state
+        i = pred[j]
+        y = y.at[j].set(i)
+        next_j = x[i]
+        x = x.at[i].set(j)
+        return next_j, x, y, next_j < 0, k + 1
+
+    _, x, y, _, _ = lax.while_loop(
+        cond,
+        body,
+        (final_j, col_of_row, row_of_col, jnp.asarray(False), jnp.asarray(0, INT)),
+    )
+    return x, y
+
+
+def augment_all_multisource(C: jnp.ndarray, m: Matching) -> Matching:
+    """Complete the matching: one multi-source search + flip per free row."""
+
+    def cond(m: Matching):
+        return jnp.any(m.col_of_row < 0)
+
+    def body(m: Matching) -> Matching:
+        free = m.col_of_row < 0
+        final_j, pred, v = _multisource_path(C, free, m.row_of_col, m.v)
+        x, y = _flip_to_source(final_j, pred, m.col_of_row, m.row_of_col)
+        return Matching(x, y, v)
+
+    return lax.while_loop(cond, body, m)
+
+
+class _SweepState(NamedTuple):
+    d: jnp.ndarray         # (n,) distances over columns
+    pred_col: jnp.ndarray  # (n,) previous column on the path (-1: source layer)
+    changed: jnp.ndarray
+    sweeps: jnp.ndarray
+
+
+def _sweep_shortest_paths(
+    red_out: jnp.ndarray,  # (n, n): red_out[j, k] = reduced cost of edge col j -> col k
+    d0: jnp.ndarray,
+    max_sweeps: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Min-plus Bellman–Ford over columns: d_k = min(d_k, min_j d_j + w[j,k]).
+
+    Each sweep is one (n, n) broadcast + column-min reduction — pure VPU
+    work, no per-node pops.  Converges in (longest shortest-path hop count)
+    sweeps, which is small when the duals are good.
+    """
+    n = d0.shape[0]
+
+    def cond(s: _SweepState):
+        return s.changed & (s.sweeps <= max_sweeps)
+
+    def body(s: _SweepState) -> _SweepState:
+        through = s.d[:, None] + red_out  # (j, k)
+        best = jnp.min(through, axis=0)
+        best_j = jnp.argmin(through, axis=0).astype(INT)
+        improve = best < s.d
+        d = jnp.where(improve, best, s.d)
+        pred_col = jnp.where(improve, best_j, s.pred_col)
+        return _SweepState(d, pred_col, jnp.any(improve), s.sweeps + 1)
+
+    init = _SweepState(
+        d0, jnp.full((n,), -1, INT), jnp.asarray(True), jnp.asarray(0, INT)
+    )
+    s = lax.while_loop(cond, body, init)
+    return s.d, s.pred_col
+
+
+def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
+    """Augment every free row via min-plus sweep shortest paths.
+
+    Per round (one augmentation): build the column-to-column reduced-cost
+    graph (edge j -> k has weight red[y_j, k], the slack of column j's owner
+    at column k), seed distances from all free rows at once, run Bellman–Ford
+    sweeps to exact distances, then augment to the nearest free column and
+    apply the classical settled-set dual update v += min(d, delta) - delta
+    (identical to JV's READY-set update when distances are exact).
+
+    Replaces the pop-at-a-time Dijkstra (lapjv.cpp:221-282) whose ~n-iteration
+    serial loop is latency-bound on TPU; here each round costs a handful of
+    fused O(n^2) VPU passes.
+    """
+    n = C.shape[-1]
+    inf = jnp.asarray(jnp.inf, C.dtype)
+    iota = lax.iota(INT, n)
+
+    def cond(m: Matching):
+        return jnp.any(m.col_of_row < 0)
+
+    def body(m: Matching) -> Matching:
+        x, y, v = m
+        free_row = x < 0
+        free_col = y < 0
+
+        # Implicit row potentials: matched rows tight at their column; free
+        # rows tightened to their row minimum.
+        slack = C - v[None, :]
+        x_safe = jnp.where(x >= 0, x, 0)
+        u_matched = jnp.take_along_axis(slack, x_safe[:, None], axis=1)[:, 0]
+        u_free = jnp.min(slack, axis=1)
+        u = jnp.where(free_row, u_free, u_matched)
+        red = slack - u[:, None]  # >= ~0, zero on matched edges
+
+        # Source layer: direct reach from any free row.
+        d0 = jnp.min(jnp.where(free_row[:, None], red, inf), axis=0)
+        pred_row = jnp.argmin(jnp.where(free_row[:, None], red, inf), axis=0).astype(INT)
+
+        # Column-to-column edges: out of matched columns via their owner row.
+        y_safe = jnp.where(y >= 0, y, 0)
+        red_out = jnp.where(free_col[:, None], inf, red[y_safe, :])
+        # No self loops.
+        red_out = jnp.where(iota[:, None] == iota[None, :], inf, red_out)
+
+        d, pred_col = _sweep_shortest_paths(red_out, d0, jnp.asarray(n, INT))
+
+        d_free = jnp.where(free_col, d, inf)
+        final_j = jnp.argmin(d_free).astype(INT)
+        delta = d_free[final_j]
+
+        # Dual update (exact distances make this JV's READY-set update).
+        v = v + jnp.minimum(d, delta) - delta
+
+        # Flip along pred_col back to the source free row.
+        def flip_cond(state):
+            j, x, y, done, k = state
+            return (~done) & (k <= n)
+
+        def flip_body(state):
+            j, x, y, done, k = state
+            pc = pred_col[j]
+            i = jnp.where(pc < 0, pred_row[j], y[jnp.where(pc < 0, 0, pc)])
+            y = y.at[j].set(i)
+            x = x.at[i].set(j)
+            return pc, x, y, pc < 0, k + 1
+
+        _, x, y, _, _ = lax.while_loop(
+            flip_cond, flip_body, (final_j, x, y, jnp.asarray(False), jnp.asarray(0, INT))
+        )
+        return Matching(x, y, v)
+
+    return lax.while_loop(cond, body, m)
+
+
 def lapjv_single(C: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Solve one dense square LAP.  Returns (col_of_row, row_of_col, cost)."""
+    from .seeded import jacobi_arr  # local import: avoids a module cycle
+
     m = column_reduction(C)
-    m = augment_all(C, m)
+    m = jacobi_arr(C, m)  # parallel ARR: shrink the sequential phase
+    m = augment_all_sweep(C, m)
     return m.col_of_row, m.row_of_col, matching_cost(C, m.col_of_row)
 
 

@@ -35,7 +35,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .jv import INT, Matching, augment_all, column_reduction, matching_cost
+from .jv import (
+    INT,
+    Matching,
+    augment_all,
+    augment_all_multisource,
+    augment_all_sweep,
+    column_reduction,
+    matching_cost,
+)
 
 __all__ = [
     "default_tight_eps",
@@ -179,6 +187,97 @@ def _micro_arr(
     return v + bump[:n]
 
 
+class _ArrState(NamedTuple):
+    rnd: jnp.ndarray
+    m: Matching
+    progressed: jnp.ndarray
+
+
+def jacobi_arr(
+    C: jnp.ndarray,
+    m: Matching,
+    max_rounds: int = 64,
+    min_delta: float = 0.0,
+) -> Matching:
+    """Parallel (Jacobi) augmenting row reduction — an epsilon=0 auction.
+
+    The reference's ARR (lapjv.cpp:76-149) walks free rows one at a time:
+    take the cheapest column j1, lower v[j1] by the gap to the second
+    cheapest, kick the previous owner.  Here *all* free rows bid in the same
+    round (one O(n^2) two-min reduction); each column accepts the bid with
+    the largest gap (ties to the lowest row) and lowers its potential by that
+    gap.  Invariants preserved every round:
+
+      * dual feasibility: v only decreases, so reduced costs only grow;
+      * matched edges stay tight: a held column's potential is untouched
+        until its owner is kicked, and other columns only become *more*
+        expensive, so a held edge remains its row's minimum.
+
+    Rows whose two-min gap is <= ``min_delta`` do not bid (no price progress
+    to be made) and are left for the exact Dijkstra phase, as is anything
+    still free after ``max_rounds``.  Exactness of the overall solve is
+    therefore unaffected — this pass only shrinks the sequential workload.
+    """
+    n = C.shape[-1]
+    iota = lax.iota(INT, n)
+    col_ids = lax.broadcasted_iota(INT, (n, n), 1)
+    inf = jnp.asarray(jnp.inf, C.dtype)
+    neg_inf = jnp.asarray(-jnp.inf, C.dtype)
+
+    def cond(s: _ArrState):
+        return (s.rnd < max_rounds) & s.progressed
+
+    def body(s: _ArrState) -> _ArrState:
+        x, y, v = s.m.col_of_row, s.m.row_of_col, s.m.v
+        red = C - v[None, :]
+        j1 = jnp.argmin(red, axis=1).astype(INT)
+        min1 = jnp.take_along_axis(red, j1[:, None], axis=1)[:, 0]
+        min2 = jnp.min(jnp.where(col_ids == j1[:, None], inf, red), axis=1)
+        delta = min2 - min1
+
+        bid = (x < 0) & (delta > min_delta) & jnp.isfinite(min2)
+        j1_safe = jnp.where(bid, j1, n)
+
+        # Column-side acceptance: largest gap wins, ties to the lowest row.
+        col_best = (
+            jnp.full((n + 1,), neg_inf, C.dtype)
+            .at[j1_safe]
+            .max(jnp.where(bid, delta, neg_inf))
+        )
+        cand = bid & (delta >= col_best[j1_safe])
+        win_row = (
+            jnp.full((n + 1,), n, INT)
+            .at[jnp.where(cand, j1, n)]
+            .min(jnp.where(cand, iota, n))
+        )
+        won = cand & (win_row[j1_safe] == iota)
+
+        # Price drop on won columns (one winner per column).
+        dv = (
+            jnp.zeros((n + 1,), C.dtype)
+            .at[jnp.where(won, j1, n)]
+            .max(jnp.where(won, delta, 0.0))
+        )
+        v = v - dv[:n]
+
+        new_owner = (
+            jnp.full((n + 1,), -1, INT)
+            .at[jnp.where(won, j1, n)]
+            .max(jnp.where(won, iota, -1))
+        )[:n]
+        kicked = jnp.where(new_owner >= 0, y, -1)
+        x = x.at[jnp.where(kicked >= 0, kicked, n)].set(-1, mode="drop")
+        x = jnp.where(won, j1, x)
+        y = jnp.where(new_owner >= 0, new_owner, y)
+
+        return _ArrState(s.rnd + 1, Matching(x, y, v), jnp.any(won))
+
+    s = lax.while_loop(
+        cond, body, _ArrState(jnp.asarray(0, INT), m, jnp.asarray(True))
+    )
+    return s.m
+
+
 class SeededResult(NamedTuple):
     col_of_row: jnp.ndarray
     row_of_col: jnp.ndarray
@@ -247,7 +346,11 @@ def lapjv_seeded_single(
         return Matching(col_of_row=x, row_of_col=y, v=v_adj)
 
     m = lax.cond(use_fallback, cold, warm, None)
-    m = augment_all(C, m)
+    # Parallel ARR collapses most remaining free rows with O(n^2)-per-round
+    # vector work; the multi-source Dijkstra finishes the rest, terminating
+    # each augmentation at the nearest free column over all sources.
+    m = jacobi_arr(C, m)
+    m = augment_all_sweep(C, m)
     return SeededResult(
         col_of_row=m.col_of_row,
         row_of_col=m.row_of_col,
