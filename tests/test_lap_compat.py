@@ -1,0 +1,113 @@
+"""lap-package compatibility API tests (mirrors LAP/lap/tests style)."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+from lapgnn_tpu.data.generators import FAMILIES
+from lapgnn_tpu.ops.host_dual import oracle_duals_np
+from lapgnn_tpu.solver import lap_compat as lap
+
+
+def test_square_lapjv_matches_scipy(rng):
+    C = FAMILIES["uniform"](30, rng)
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    opt, x, y = lap.lapjv(C)
+    assert abs(opt - C[r, c].sum()) < 1e-10
+    assert np.array_equal(x[y], np.arange(30))
+
+
+def test_hand_computed_square():
+    # Same style as LAP/lap/tests/test_lapjv.py hand cases.
+    C = np.array([[4.0, 1.0, 3.0], [2.0, 0.0, 5.0], [3.0, 2.0, 2.0]])
+    opt, x, y = lap.lapjv(C)
+    assert opt == 5.0
+    assert x.tolist() == [1, 0, 2]
+
+
+def test_non_square_requires_extend():
+    C = np.ones((3, 5))
+    with pytest.raises(ValueError):
+        lap.lapjv(C)
+
+
+def test_extend_cost_wide():
+    """4x5: every row matched, one column unmatched (test_lapjv.py:34-57 style)."""
+    rng = np.random.default_rng(0)
+    C = rng.uniform(1, 2, (4, 5))
+    opt, x, y = lap.lapjv(C, extend_cost=True)
+    assert x.shape == (4,) and y.shape == (5,)
+    assert (x >= 0).all(), "all rows matched in a wide problem"
+    assert (y == -1).sum() == 1
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    assert abs(opt - C[r, c].sum()) < 1e-10
+
+
+def test_extend_cost_tall():
+    rng = np.random.default_rng(1)
+    C = rng.uniform(1, 2, (5, 3))
+    opt, x, y = lap.lapjv(C, extend_cost=True)
+    assert (x == -1).sum() == 2, "two rows unmatched in a tall problem"
+    assert (y >= 0).all()
+
+
+def test_cost_limit_drops_expensive_assignments():
+    # With a low cost limit, expensive rows stay unmatched.
+    C = np.array([[1.0, 10.0], [10.0, 10.0]])
+    opt, x, y = lap.lapjv(C, cost_limit=5.0)
+    assert x[0] == 0 and x[1] == -1
+    assert opt == 1.0
+
+
+def test_cost_limit_high_equals_plain():
+    rng = np.random.default_rng(2)
+    C = FAMILIES["uniform"](12, rng)
+    opt_plain, x_plain, _ = lap.lapjv(C)
+    opt_lim, x_lim, _ = lap.lapjv(C, cost_limit=1e9)
+    assert abs(opt_plain - opt_lim) < 1e-9
+    assert (x_lim >= 0).all()
+
+
+def test_return_cost_false():
+    C = np.eye(4)
+    out = lap.lapjv(C, return_cost=False)
+    assert len(out) == 2
+
+
+def test_lapmod_csr_matches_dense():
+    rng = np.random.default_rng(3)
+    C = FAMILIES["uniform"](25, rng)
+    from lapgnn_tpu.solver.native import sparse_from_dense
+
+    ii, kk, cc = sparse_from_dense(C)
+    cost, x, y = lap.lapmod(25, cc, ii, kk)
+    opt, x2, _ = lap.lapjv(C)
+    assert abs(cost - opt) < 1e-10
+
+
+def test_lapmod_rejects_bad_costs():
+    with pytest.raises(ValueError):
+        lap.lapmod(2, np.array([-1.0, 1.0]), np.array([0, 1, 2]), np.array([0, 1]))
+    with pytest.raises(ValueError):
+        lap.lapmod(2, np.array([lap.LARGE + 1.0, 1.0]), np.array([0, 1, 2]), np.array([0, 1]))
+
+
+def test_lapjv_seeded_zero_seed(rng):
+    """Zero seed == cold solve (LAP/test_seeded.py:6-47 equivalence)."""
+    C = FAMILIES["uniform"](20, rng)
+    x, y, cost = lap.lapjv_seeded(C, np.zeros(20), np.zeros(20))
+    opt, x2, _ = lap.lapjv(C)
+    assert abs(cost - opt) < 1e-10
+
+
+def test_lapjv_seeded_oracle(rng):
+    C = FAMILIES["uniform"](24, rng)
+    u, v = oracle_duals_np(C)
+    x, y, cost = lap.lapjv_seeded(C, u, v)
+    opt, _, _ = lap.lapjv(C)
+    assert abs(cost - opt) < 1e-10
+
+
+def test_constants_exported():
+    assert lap.LARGE == 1000000
+    assert lap.FP_DYNAMIC != lap.FP_1
