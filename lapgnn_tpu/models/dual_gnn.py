@@ -57,8 +57,8 @@ class DualLayer(nn.Module):
         self.edge_fc3 = nn.Dense(self.hidden_dim)
         self.row_update = nn.Dense(self.hidden_dim)
         self.col_update = nn.Dense(self.hidden_dim)
-        self.row_norm = nn.LayerNorm()
-        self.col_norm = nn.LayerNorm()
+        self.row_norm = nn.LayerNorm(epsilon=1e-5)
+        self.col_norm = nn.LayerNorm(epsilon=1e-5)
         self.drop = nn.Dropout(self.dropout)
 
     def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -105,10 +105,10 @@ class DualLayer(nn.Module):
             mask = jnp.ones((B, N), jnp.bool_)
 
         e = self.edge_fc1(edge_feat)
-        e = nn.gelu(e)
+        e = nn.gelu(e, approximate=False)
         e = self.drop(e, deterministic=deterministic)
         e = self.edge_fc2(e)
-        e = nn.gelu(e)
+        e = nn.gelu(e, approximate=False)
         e = self.edge_fc3(e)  # (B, N, N, hidden)
         e_heads = e.reshape(B, N, N, self.heads, self.head_dim)
 
@@ -134,10 +134,10 @@ class DualLayer(nn.Module):
         )
 
         ru = self.row_update(jnp.concatenate([row_embed, row_message], axis=-1))
-        ru = nn.gelu(ru)
+        ru = nn.gelu(ru, approximate=False)
         ru = self.drop(ru, deterministic=deterministic)
         cu = self.col_update(jnp.concatenate([col_embed, col_message], axis=-1))
-        cu = nn.gelu(cu)
+        cu = nn.gelu(cu, approximate=False)
         cu = self.drop(cu, deterministic=deterministic)
 
         row_embed = self.row_norm(row_embed + ru)
@@ -172,8 +172,8 @@ class DualGNN(nn.Module):
 
         def encode(x, name):
             h = nn.Dense(self.hidden_dim, name=f"{name}_fc")(x)
-            h = nn.gelu(h)
-            return nn.LayerNorm(name=f"{name}_norm")(h)
+            h = nn.gelu(h, approximate=False)
+            return nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm")(h)
 
         row_embed = encode(row_feat, "row_encoder")
         col_embed = encode(col_feat, "col_encoder")

@@ -36,11 +36,11 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = nn.Dense(self.hidden, name="fc1")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         y = nn.Dense(self.hidden, name="fc2")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        return nn.LayerNorm(name="norm")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + y)
 
 
 class OneGNN(nn.Module):
@@ -73,8 +73,8 @@ class OneGNN(nn.Module):
             row_feat = row_feat[None]
 
         h = nn.Dense(self.hidden, name="input_proj")(row_feat)
-        h = nn.gelu(h)
-        h = nn.LayerNorm(name="input_norm")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=1e-5, name="input_norm")(h)
 
         for i in range(self.layers):
             h = ResidualBlock(self.hidden, self.dropout, name=f"block_{i}")(
@@ -88,7 +88,7 @@ class OneGNN(nn.Module):
 
         head_hidden = max(self.hidden // 2, 1)
         y = nn.Dense(head_hidden, name="head_fc1")(h)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         u = nn.Dense(1, name="head_fc2")(y)[..., 0]
 
@@ -131,7 +131,7 @@ class OneGNN(nn.Module):
 
         edge_in = jnp.where(valid, values, 0.0)[..., None]  # (B, n, k, 1)
         e = nn.Dense(self.hidden, name="edge_fc1")(edge_in)
-        e = nn.gelu(e)
+        e = nn.gelu(e, approximate=False)
         e = nn.Dense(self.hidden, name="edge_fc2")(e)  # (B, n, k, H)
 
         message = jnp.sum(weights[..., None] * e, axis=-2)  # (B, n, H)
@@ -139,4 +139,4 @@ class OneGNN(nn.Module):
             message = message * mask_rows[..., :, None]
 
         message = nn.Dropout(self.dropout, deterministic=deterministic)(message)
-        return nn.LayerNorm(name="message_norm")(message)
+        return nn.LayerNorm(epsilon=1e-5, name="message_norm")(message)
