@@ -1,0 +1,32 @@
+"""Driver entry points: compile check + multi-chip dryrun must keep working."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __graft_entry__ as ge  # noqa: E402
+
+
+def test_entry_jits_and_runs():
+    fn, args = ge.entry()
+    u, v = jax.jit(fn)(*args)
+    assert u.shape == (4, 64) and v.shape == (4, 64)
+    # min-trick guarantees dual feasibility.
+    params, cost = args
+    red = np.asarray(cost) - np.asarray(u)[..., :, None] - np.asarray(v)[..., None, :]
+    assert red.min() >= -1e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_8():
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_dryrun_multichip_odd_mesh():
+    ge.dryrun_multichip(4)
