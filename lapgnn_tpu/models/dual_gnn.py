@@ -157,6 +157,7 @@ class DualGNN(nn.Module):
     layers: int = 4
     heads: int = 4
     dropout: float = 0.1
+    remat: bool = False  # rematerialise each layer's activations (for big n)
 
     @nn.compact
     def __call__(
@@ -178,10 +179,15 @@ class DualGNN(nn.Module):
         row_embed = encode(row_feat, "row_encoder")
         col_embed = encode(col_feat, "col_encoder")
 
+        layer_cls = DualLayer
+        if self.remat:
+            # Trade FLOPs for memory: recompute each layer's O(n^2 * hidden)
+            # edge activations in the backward pass instead of storing them.
+            layer_cls = nn.remat(DualLayer, static_argnums=(5,))
         for i in range(self.layers):
-            row_embed, col_embed = DualLayer(
+            row_embed, col_embed = layer_cls(
                 self.hidden_dim, self.heads, self.dropout, name=f"layer_{i}"
-            )(edge_feat, row_embed, col_embed, mask, deterministic=deterministic)
+            )(edge_feat, row_embed, col_embed, mask, deterministic)
 
         u = nn.Dense(1, name="row_out")(row_embed)[..., 0]
         v_hint = nn.Dense(1, name="col_out")(col_embed)[..., 0]

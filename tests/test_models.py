@@ -109,3 +109,27 @@ def test_dual_gnn_grad(dual_gnn_setup):
     assert all(
         np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_dual_gnn_remat_matches_and_differentiates(rng):
+    from lapgnn_tpu.train.loss import dual_gnn_loss
+
+    C = np.stack([FAMILIES["uniform"](10, rng) for _ in range(2)]).astype(np.float32)
+    gf = graph_features(jnp.asarray(C))
+    plain = DualGNN(hidden_dim=16, layers=2, heads=2, dropout=0.0)
+    rm = DualGNN(hidden_dim=16, layers=2, heads=2, dropout=0.0, remat=True)
+    params = plain.init(jax.random.key(3), gf.edge_feat, gf.row_feat, gf.col_feat)
+
+    out_a = plain.apply(params, gf.edge_feat, gf.row_feat, gf.col_feat)
+    out_b = rm.apply(params, gf.edge_feat, gf.row_feat, gf.col_feat)
+    np.testing.assert_allclose(
+        np.asarray(out_a["u"]), np.asarray(out_b["u"]), atol=1e-6
+    )
+
+    def loss(p):
+        preds = rm.apply(p, gf.edge_feat, gf.row_feat, gf.col_feat)
+        l, _ = dual_gnn_loss(jnp.asarray(C), preds)
+        return l
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
