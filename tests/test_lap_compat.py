@@ -111,3 +111,34 @@ def test_lapjv_seeded_oracle(rng):
 def test_constants_exported():
     assert lap.LARGE == 1000000
     assert lap.FP_DYNAMIC != lap.FP_1
+
+
+def test_pure_python_sparse_spec_matches_all_backends(rng):
+    """Three-way agreement: pure-NumPy spec vs native CSR vs dense SciPy."""
+    from lapgnn_tpu.solver.native import lapmod_native, sparse_from_dense
+    from lapgnn_tpu.solver.py_sparse import lapmod_py
+
+    C = FAMILIES["uniform"](30, rng)
+    ii, kk, cc = sparse_from_dense(C)
+    x_py, y_py, cost_py = lapmod_py(30, ii, kk, cc)
+    x_na, y_na, cost_na = lapmod_native(30, ii, kk, cc)
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    assert abs(cost_py - C[r, c].sum()) < 1e-10
+    assert abs(cost_na - cost_py) < 1e-10
+    assert sorted(x_py.tolist()) == list(range(30))
+
+
+def test_pure_python_sparse_infeasible():
+    from lapgnn_tpu.solver.py_sparse import lapmod_py
+
+    with pytest.raises(ValueError):
+        lapmod_py(2, np.array([0, 1, 2]), np.array([0, 0]), np.array([1.0, 2.0]))
+
+
+def test_pure_python_check_cost():
+    from lapgnn_tpu.solver.py_sparse import check_cost
+
+    with pytest.raises(ValueError):
+        check_cost(np.array([-1.0]))
+    with pytest.raises(ValueError):
+        check_cost(np.array([2e6]))
