@@ -122,6 +122,27 @@ def main() -> None:
         f"{float(np.mean(streamed_speedups)):.3f}x",
         file=sys.stderr,
     )
+
+    # Batched throughput (secondary): amortises the fixed dispatch/readback.
+    B = 4
+    Cb = jnp.asarray(
+        np.stack(
+            [generate_uniform_costs(N, seed=200 + k) for k in range(B)]
+        ).astype(np.float32)
+    )
+    t_batch = _median_time(lambda: np.asarray(pipe._e2e(pipe.params, Cb)), repeats=3)
+    t_scipy_each = [
+        _median_time(
+            lambda k=k: scipy.optimize.linear_sum_assignment(np.asarray(Cb[k], np.float64)),
+            repeats=3,
+        )
+        for k in range(B)
+    ]
+    print(
+        f"# batched throughput (B={B}): {t_batch / B * 1e3:.1f}ms/instance, "
+        f"speedup {float(np.mean(t_scipy_each)) / (t_batch / B):.2f}x",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
