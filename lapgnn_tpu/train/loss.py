@@ -110,12 +110,19 @@ def one_gnn_loss(
     u_target: jnp.ndarray,
     preds: Dict[str, jnp.ndarray],
     mask: Optional[jnp.ndarray] = None,
+    normalize_gap: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """loss = mean primal_gap + mean feas + 0.1 * u-MSE (train_one_gnn.py:215-219)."""
+    """loss = mean primal_gap + mean feas + 0.1 * u-MSE (train_one_gnn.py:215-219).
+
+    ``normalize_gap`` divides the primal gap by the instance size so that
+    mixed-size curricula weight every size equally (the raw gap scales with
+    n; off by default for reference parity).
+    """
     u_pred, v_proj, mf, primal_gap, feas = _shared_terms(cost, preds["u"], mask)
     cnt = jnp.maximum(jnp.sum(mf, axis=-1), 1.0)
     u_reg = jnp.sum((u_pred - u_target) ** 2 * mf, axis=-1) / cnt
-    loss = jnp.mean(primal_gap) + jnp.mean(feas) + 0.1 * jnp.mean(u_reg)
+    gap_term = primal_gap / cnt if normalize_gap else primal_gap
+    loss = jnp.mean(gap_term) + jnp.mean(feas) + 0.1 * jnp.mean(u_reg)
     metrics = {
         "primal_gap": primal_gap,
         "feas": feas,

@@ -128,6 +128,7 @@ def train_progressive(
         topk=int(mcfg.get("topk", 16)),
     )
     use_cost = bool(mcfg.get("use_cost_refinement", False))
+    normalize_gap = bool(config.get("loss", {}).get("normalize_gap", False))
 
     epochs = int(tcfg.get("epochs", 40))
     min_epochs = int(tcfg.get("min_epochs", 10))
@@ -174,7 +175,7 @@ def train_progressive(
         params = init_params
     state = State(params, tx.init(params), jnp.asarray(0))
 
-    train_step = make_train_step(model, tx, use_cost)
+    train_step = make_train_step(model, tx, use_cost, normalize_gap)
     eval_step = make_eval_step(model, use_cost)
 
     out_dir = Path(ccfg.get("output_dir", "artifacts/progressive"))

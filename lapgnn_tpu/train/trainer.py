@@ -36,6 +36,7 @@ class TrainConfig:
     dropout: float = 0.1
     topk: int = 16
     use_cost_refinement: bool = False  # reference trains with cost=None (train_one_gnn.py:248)
+    normalize_gap: bool = False  # scale-free primal gap across sizes
     lr: float = 1e-3
     weight_decay: float = 1e-4
     grad_clip: float = 1.0
@@ -104,7 +105,12 @@ class BucketBatcher:
         )
 
 
-def make_train_step(model: OneGNN, tx: optax.GradientTransformation, use_cost: bool):
+def make_train_step(
+    model: OneGNN,
+    tx: optax.GradientTransformation,
+    use_cost: bool,
+    normalize_gap: bool = False,
+):
     """Jitted (state, cost, u_target, rng) -> (state, metrics)."""
 
     def loss_fn(params, cost, u_target, rng):
@@ -116,7 +122,7 @@ def make_train_step(model: OneGNN, tx: optax.GradientTransformation, use_cost: b
             deterministic=False,
             rngs={"dropout": rng},
         )
-        return one_gnn_loss(cost, u_target, preds)
+        return one_gnn_loss(cost, u_target, preds, normalize_gap=normalize_gap)
 
     @jax.jit
     def step(state: State, cost, u_target, rng):
@@ -136,14 +142,14 @@ def make_train_step(model: OneGNN, tx: optax.GradientTransformation, use_cost: b
     return step
 
 
-def make_eval_step(model: OneGNN, use_cost: bool):
+def make_eval_step(model: OneGNN, use_cost: bool, normalize_gap: bool = False):
     @jax.jit
     def step(params, cost, u_target):
         feats = row_features(cost)
         preds = model.apply(
             params, feats, cost=cost if use_cost else None, deterministic=True
         )
-        _, metrics = one_gnn_loss(cost, u_target, preds)
+        _, metrics = one_gnn_loss(cost, u_target, preds, normalize_gap=normalize_gap)
         return {
             "primal_gap": metrics["primal_gap"],
             "feas": metrics["feas"],
@@ -189,7 +195,7 @@ def train_one_gnn(
     )
     state = State(params, tx.init(params), jnp.asarray(0))
 
-    train_step = make_train_step(model, tx, cfg.use_cost_refinement)
+    train_step = make_train_step(model, tx, cfg.use_cost_refinement, cfg.normalize_gap)
     eval_step = make_eval_step(model, cfg.use_cost_refinement)
 
     history: Dict[str, list] = {"train_loss": [], "val_gap_median": []}
