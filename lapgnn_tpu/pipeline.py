@@ -136,7 +136,6 @@ class WarmStartPipeline:
 
         if self.mode == "device":
             packed = np.asarray(self._e2e(self.params, cost_dev))
-            n = cost_dev.shape[-1]
             return {
                 "col_of_row": packed[:, 2:].astype(np.int64),
                 "cost": packed[:, 0].astype(np.float64),

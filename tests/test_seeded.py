@@ -154,3 +154,22 @@ def test_free_rows_gate_avoids_spurious_fallback():
     )
     assert not bool(res_fr.used_fallback)
     assert abs(float(res_fr.cost) - _opt(C)) < 1e-9
+
+
+def test_mixed_size_padded_batch_seeded():
+    """Mixed-size instances solved as one padded batch: pad blocks are
+    identity-like so padded optima equal the originals."""
+    from lapgnn_tpu.ops.padding import pad_batch, unpad_assignment
+
+    rng = np.random.default_rng(12)
+    sizes = [13, 20, 20]
+    Cs = [FAMILIES["uniform"](s, rng) for s in sizes]
+    batch, mask = pad_batch(Cs, target_n=20)
+    u = np.zeros((3, 20))
+    v = np.zeros((3, 20))
+    res = lapjv_seeded_batch(jnp.asarray(batch), jnp.asarray(u), jnp.asarray(v))
+    for b, C in enumerate(Cs):
+        n = sizes[b]
+        x = unpad_assignment(np.asarray(res.col_of_row[b]), n)
+        got = C[np.arange(n), x].sum()
+        assert abs(got - _opt(C)) < 1e-9
