@@ -50,3 +50,17 @@ def test_pallas_row_stats(rng):
     ent = -(p * np.log(p + 1e-9)).sum(1)
     np.testing.assert_allclose(got[:, 4], ent, atol=1e-4)
     np.testing.assert_allclose(got[:, 5], (Cn <= Cn.min(1, keepdims=True) * 1.1).mean(1), atol=1e-6)
+
+
+def test_pallas_two_min(rng):
+    from lapgnn_tpu.ops.pallas import pallas_two_min
+
+    n = 256
+    C = jnp.asarray(FAMILIES["uniform"](n, rng), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.2, n), jnp.float32)
+    min1, min2, j1 = pallas_two_min(C, v, interpret=INTERPRET)
+    red = np.asarray(C) - np.asarray(v)[None, :]
+    s = np.sort(red, axis=1)
+    np.testing.assert_allclose(np.asarray(min1), s[:, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(min2), s[:, 1], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(j1), red.argmin(axis=1))
