@@ -173,3 +173,47 @@ def test_mixed_size_padded_batch_seeded():
         x = unpad_assignment(np.asarray(res.col_of_row[b]), n)
         got = C[np.arange(n), x].sum()
         assert abs(got - _opt(C)) < 1e-9
+
+
+def test_jacobi_arr_invariants(rng):
+    """After any number of ARR rounds: dual feasibility holds and every
+    matched edge is its row's minimum slack (tight)."""
+    from lapgnn_tpu.solver.jv import column_reduction
+    from lapgnn_tpu.solver.seeded import jacobi_arr
+
+    C = FAMILIES["uniform"](48, rng)
+    Cj = jnp.asarray(C)
+    m = column_reduction(Cj)
+    m2 = jacobi_arr(Cj, m, max_rounds=32)
+
+    x = np.asarray(m2.col_of_row)
+    y = np.asarray(m2.row_of_col)
+    v = np.asarray(m2.v)
+    # Matching consistency.
+    for i, j in enumerate(x):
+        if j >= 0:
+            assert y[j] == i
+    slack = C - v[None, :]
+    u = slack.min(axis=1)
+    red = slack - u[:, None]
+    assert red.min() >= -1e-9, "ARR must preserve dual feasibility"
+    matched = x >= 0
+    rows = np.nonzero(matched)[0]
+    np.testing.assert_allclose(red[rows, x[rows]], 0.0, atol=1e-8)
+
+
+def test_augment_all_sweep_from_column_reduction(rng):
+    """Sweep augmentation alone must complete any partial matching optimally."""
+    from lapgnn_tpu.solver.jv import (
+        augment_all_sweep,
+        column_reduction,
+        matching_cost,
+    )
+
+    for fam in ["uniform", "tie", "metric"]:
+        C = FAMILIES[fam](40, rng)
+        Cj = jnp.asarray(C)
+        m = augment_all_sweep(Cj, column_reduction(Cj))
+        x = np.asarray(m.col_of_row)
+        assert sorted(x.tolist()) == list(range(40))
+        assert abs(float(matching_cost(Cj, m.col_of_row)) - _opt(C)) < 1e-9
