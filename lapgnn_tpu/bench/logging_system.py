@@ -14,7 +14,6 @@ import csv
 import json
 import os
 import platform
-import time
 from datetime import datetime
 from pathlib import Path
 from typing import Any, Dict, List, Optional

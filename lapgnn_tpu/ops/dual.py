@@ -25,7 +25,6 @@ Notable TPU-first changes vs the reference:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
