@@ -444,8 +444,9 @@ def lapjv_single(C: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     """Solve one dense square LAP.  Returns (col_of_row, row_of_col, cost)."""
     from .seeded import jacobi_arr  # local import: avoids a module cycle
 
+    n = C.shape[-1]
     m = column_reduction(C)
-    m = jacobi_arr(C, m)  # parallel ARR: shrink the sequential phase
+    m = jacobi_arr(C, m, max_rounds=max(64, n // 16))  # parallel ARR
     m = augment_all_sweep(C, m)
     return m.col_of_row, m.row_of_col, matching_cost(C, m.col_of_row)
 

@@ -347,9 +347,10 @@ def lapjv_seeded_single(
 
     m = lax.cond(use_fallback, cold, warm, None)
     # Parallel ARR collapses most remaining free rows with O(n^2)-per-round
-    # vector work; the multi-source Dijkstra finishes the rest, terminating
-    # each augmentation at the nearest free column over all sources.
-    m = jacobi_arr(C, m)
+    # vector work; min-plus sweep augmentation finishes the rest.  Rounds
+    # scale with n: each round is cheap relative to one sweep augmentation,
+    # and larger instances leave more free rows after the greedy phase.
+    m = jacobi_arr(C, m, max_rounds=max(64, n // 16))
     m = augment_all_sweep(C, m)
     return SeededResult(
         col_of_row=m.col_of_row,
