@@ -71,6 +71,8 @@ class H5Writer:
         self._f["family"][i] = inst.family
         self._f["tag"][i] = inst.tag or ""
         self._count += 1
+        if self._count % 8 == 0:
+            self._f.flush()  # bound data loss if the process is killed
 
     def close(self) -> None:
         self._f.close()
