@@ -1,6 +1,7 @@
 """Distribution layer: device meshes, shardings, collective ops."""
 
 from .mesh import Mesh, NamedSharding, P, batch_sharding, make_mesh, replicated
+from .ring import ring_all_reduce_min, ring_min_trick
 from .sharded import (
     make_dp_train_step,
     make_sharded_predict,
@@ -15,6 +16,8 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "replicated",
+    "ring_all_reduce_min",
+    "ring_min_trick",
     "make_dp_train_step",
     "make_sharded_predict",
     "shmap_col_min",

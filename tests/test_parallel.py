@@ -105,3 +105,45 @@ def test_dp_train_step_runs_and_matches_replicated(rng):
     # Same data, same rng => same loss (sharding must not change numerics
     # beyond f32 reduction order).
     np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]), rtol=1e-4)
+
+
+@requires_8
+def test_ring_all_reduce_min_matches_pmin(rng):
+    from lapgnn_tpu.parallel.ring import ring_all_reduce_min
+
+    mesh = make_mesh(data=1, model=8)
+    x = rng.normal(0, 1, (8, 16))  # one row per shard after sharding P()?
+    # Use per-shard distinct data: shard over the leading axis explicitly.
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    import functools
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("model", None),), out_specs=P(),
+        check_vma=False,
+    )
+    def local_then_ring(blk):
+        from lapgnn_tpu.parallel.ring import _ring_min_body
+
+        return _ring_min_body(blk[0], "model")
+
+    with mesh:
+        got = local_then_ring(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), x.min(axis=0), atol=1e-12)
+
+
+@requires_8
+def test_ring_min_trick_matches_dense(rng):
+    from lapgnn_tpu.parallel.ring import ring_min_trick
+
+    mesh = make_mesh(data=1, model=8)
+    C = rng.uniform(0, 1, (64, 48))
+    u = rng.normal(0, 0.3, 64)
+    import jax.numpy as jnp
+
+    with mesh:
+        got = ring_min_trick(mesh)(jnp.asarray(C), jnp.asarray(u))
+    np.testing.assert_allclose(
+        np.asarray(got), (C - u[:, None]).min(axis=0), atol=1e-12
+    )
