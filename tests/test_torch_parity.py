@@ -161,3 +161,51 @@ def test_dual_gnn_activation_parity(rng):
     np.testing.assert_allclose(
         np.asarray(out_jax["v_hint"]), out_torch["v_hint"].numpy(), atol=5e-5, rtol=1e-3
     )
+
+
+def test_convert_torch_checkpoint_roundtrip(tmp_path, rng):
+    """Save a reference-style torch checkpoint, convert it, verify outputs
+    agree with the torch model (weights-level interop)."""
+    from gnn.one_gnn import OneGNN as TorchOneGNN
+
+    from lapgnn_tpu.train.convert_torch import convert_checkpoint
+
+    hidden, layers, n = 32, 2, 16
+    tm = TorchOneGNN(in_dim=21, hidden=hidden, layers=layers, dropout=0.0, topk=8)
+    tm.eval()
+    ckpt = {
+        "model_state_dict": tm.state_dict(),
+        "architecture": "one_gnn",
+        "hidden_dim": hidden,
+        "layers": layers,
+        "dropout": 0.0,
+        "row_feat_dim": 21,
+        "features": "full",
+    }
+    path = tmp_path / "ref_model.pt"
+    torch.save(ckpt, path)
+
+    params, meta = convert_checkpoint(path)
+    assert meta["architecture"] == "one_gnn"
+    model = OneGNN(hidden=hidden, layers=layers, dropout=0.0, topk=8)
+
+    cost = jnp.asarray(rng.uniform(0, 1, (1, n, n)), jnp.float32)
+    feats = row_features(cost)
+    out_jax = model.apply(params, feats, cost=cost)
+    with torch.no_grad():
+        out_torch = tm(_t(feats), cost=_t(cost))
+    np.testing.assert_allclose(
+        np.asarray(out_jax["u"]), out_torch["u"].numpy(), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_convert_bare_state_dict(tmp_path):
+    from gnn.one_gnn import OneGNN as TorchOneGNN
+
+    from lapgnn_tpu.train.convert_torch import convert_checkpoint
+
+    tm = TorchOneGNN(in_dim=21, hidden=64, layers=2)
+    path = tmp_path / "bare.pt"
+    torch.save(tm.state_dict(), path)
+    params, meta = convert_checkpoint(path)
+    assert meta["hidden"] == 64 and "block_1" in params["params"]
