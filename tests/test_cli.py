@@ -60,3 +60,17 @@ def test_main_benchmark_quick(tmp_path, capsys):
     assert any(g.startswith("uniform_noise") for g in groups)
     # Logs written.
     assert (tmp_path / "logs" / "experiments").exists()
+
+
+def test_scaling_benchmark_cli(capsys):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple virtual devices")
+    from lapgnn_tpu.cli import scaling_benchmark
+
+    scaling_benchmark.main(["--meshes", "1", "2", "--n", "128", "--batch", "1", "--repeats", "2"])
+    out = capsys.readouterr().out
+    data = json.loads(out.strip().splitlines()[-1])
+    assert "per_mesh" in data and "1" in data["per_mesh"]
+    assert data["per_mesh"]["1"]["scaling_efficiency"] == 1.0
