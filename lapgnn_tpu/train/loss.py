@@ -82,7 +82,7 @@ def greedy_primal_upper(
     return jax.vmap(_greedy_single)(cost, reduced, mask)
 
 
-def _shared_terms(cost, u_pred, mask):
+def _shared_terms(cost, u_pred, mask, include_primal=True):
     mf = mask.astype(cost.dtype) if mask is not None else jnp.ones(cost.shape[:-1], cost.dtype)
     if mask is not None:
         u_pred = jnp.where(mask, u_pred, 0.0)
@@ -99,9 +99,19 @@ def _shared_terms(cost, u_pred, mask):
         entries = jnp.asarray(cost.shape[-1] * cost.shape[-2], cost.dtype)
     feas = jnp.sum(hinge, axis=(-2, -1)) / entries
 
-    reduced = cost - u_pred[..., :, None] - v_proj[..., None, :]
-    primal_upper = greedy_primal_upper(cost, reduced, mask)
-    primal_gap = primal_upper - dual_lower
+    if include_primal:
+        reduced = cost - u_pred[..., :, None] - v_proj[..., None, :]
+        primal_upper = greedy_primal_upper(cost, reduced, mask)
+        primal_gap = primal_upper - dual_lower
+    else:
+        # Cheap surrogate: maximise the dual lower bound directly (the
+        # greedy upper bound is an O(n) sequential scan — the dominant train
+        # step cost at n >= 4096).  Offsetting by the row-min sum keeps the
+        # term positive and comparably scaled.
+        anchor = jnp.sum(jnp.min(cost, axis=-1), axis=-1) + jnp.sum(
+            jnp.min(cost, axis=-2), axis=-1
+        )
+        primal_gap = anchor - dual_lower
     return u_pred, v_proj, mf, primal_gap, feas
 
 
@@ -111,14 +121,19 @@ def one_gnn_loss(
     preds: Dict[str, jnp.ndarray],
     mask: Optional[jnp.ndarray] = None,
     normalize_gap: bool = False,
+    include_primal: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mean primal_gap + mean feas + 0.1 * u-MSE (train_one_gnn.py:215-219).
 
     ``normalize_gap`` divides the primal gap by the instance size so that
     mixed-size curricula weight every size equally (the raw gap scales with
-    n; off by default for reference parity).
+    n; off by default for reference parity).  ``include_primal=False`` swaps
+    the greedy upper bound for a dual-maximisation surrogate (removes the
+    O(n)-sequential scan from the train step; for large-n fine-tuning).
     """
-    u_pred, v_proj, mf, primal_gap, feas = _shared_terms(cost, preds["u"], mask)
+    u_pred, v_proj, mf, primal_gap, feas = _shared_terms(
+        cost, preds["u"], mask, include_primal
+    )
     cnt = jnp.maximum(jnp.sum(mf, axis=-1), 1.0)
     u_reg = jnp.sum((u_pred - u_target) ** 2 * mf, axis=-1) / cnt
     gap_term = primal_gap / cnt if normalize_gap else primal_gap

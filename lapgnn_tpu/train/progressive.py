@@ -129,6 +129,7 @@ def train_progressive(
     )
     use_cost = bool(mcfg.get("use_cost_refinement", False))
     normalize_gap = bool(config.get("loss", {}).get("normalize_gap", False))
+    include_primal = bool(config.get("loss", {}).get("include_primal", True))
 
     epochs = int(tcfg.get("epochs", 40))
     min_epochs = int(tcfg.get("min_epochs", 10))
@@ -175,7 +176,7 @@ def train_progressive(
         params = init_params
     state = State(params, tx.init(params), jnp.asarray(0))
 
-    train_step = make_train_step(model, tx, use_cost, normalize_gap)
+    train_step = make_train_step(model, tx, use_cost, normalize_gap, include_primal)
     eval_step = make_eval_step(model, use_cost)
 
     out_dir = Path(ccfg.get("output_dir", "artifacts/progressive"))

@@ -37,6 +37,7 @@ class TrainConfig:
     topk: int = 16
     use_cost_refinement: bool = False  # reference trains with cost=None (train_one_gnn.py:248)
     normalize_gap: bool = False  # scale-free primal gap across sizes
+    include_primal: bool = True  # greedy upper bound term (False: dual surrogate)
     lr: float = 1e-3
     weight_decay: float = 1e-4
     grad_clip: float = 1.0
@@ -110,6 +111,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     use_cost: bool,
     normalize_gap: bool = False,
+    include_primal: bool = True,
 ):
     """Jitted (state, cost, u_target, rng) -> (state, metrics)."""
 
@@ -122,7 +124,10 @@ def make_train_step(
             deterministic=False,
             rngs={"dropout": rng},
         )
-        return one_gnn_loss(cost, u_target, preds, normalize_gap=normalize_gap)
+        return one_gnn_loss(
+            cost, u_target, preds,
+            normalize_gap=normalize_gap, include_primal=include_primal,
+        )
 
     @jax.jit
     def step(state: State, cost, u_target, rng):
@@ -195,7 +200,9 @@ def train_one_gnn(
     )
     state = State(params, tx.init(params), jnp.asarray(0))
 
-    train_step = make_train_step(model, tx, cfg.use_cost_refinement, cfg.normalize_gap)
+    train_step = make_train_step(
+        model, tx, cfg.use_cost_refinement, cfg.normalize_gap, cfg.include_primal
+    )
     eval_step = make_eval_step(model, cfg.use_cost_refinement)
 
     history: Dict[str, list] = {"train_loss": [], "val_gap_median": []}
