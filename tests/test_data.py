@@ -68,3 +68,18 @@ def test_plan_bucket_largest_remainder():
 def test_plan_bucket_empty():
     rng = np.random.default_rng(5)
     assert plan_bucket(0, {"a": 1.0}, rng) == []
+
+
+def test_iter_bucket_assignments():
+    from lapgnn_tpu.data.splits import iter_bucket_assignments
+
+    out = list(
+        iter_bucket_assignments(
+            [("a", 10), ("b", 4)], {"train": 0.5, "val": 0.5}, seed=1
+        )
+    )
+    assert len(out) == 14
+    a_rows = [r for r in out if r[0] == "a"]
+    assert len(a_rows) == 10
+    labels = [r[2] for r in a_rows]
+    assert labels.count("train") == 5 and labels.count("val") == 5
