@@ -111,7 +111,15 @@ class WarmStartPipeline:
                 res1 = single(cost[0], u[0], v[0])
                 res = jax.tree_util.tree_map(lambda a: a[None], res1)
             else:
-                res = jax.vmap(single)(cost, u, v)
+                # lax.scan, not vmap: vmapped while_loops run lock-step to the
+                # slowest instance's iteration count AND turn lax.cond into
+                # both-branch execution; scanning solves each instance for
+                # exactly its own work inside one dispatch.
+                def scan_body(_, args):
+                    c, uu, vv = args
+                    return None, single(c, uu, vv)
+
+                _, res = jax.lax.scan(scan_body, None, (cost, u, v))
             packed = jnp.concatenate(
                 [
                     res.cost[:, None].astype(jnp.float32),
