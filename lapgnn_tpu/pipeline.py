@@ -76,6 +76,14 @@ class WarmStartPipeline:
         self.eps = eps
         self.gate = gate
         self._predict = predict_duals_fn(model, use_cost_refinement)
+        _predict_inner = self._predict
+
+        @jax.jit
+        def _predict_packed(params, cost):
+            u, v = _predict_inner(params, cost)
+            return jnp.stack([u, v], axis=1)  # (B, 2, n): one D2H buffer
+
+        self._predict_packed = _predict_packed
         if mode == "device":
             # Min-trick seeds make every column tight, so the direct
             # free-rows gate avoids the reference density gate's spurious
@@ -150,13 +158,15 @@ class WarmStartPipeline:
                 "used_fallback": packed[:, 1] > 0.5,
             }
 
-        u, v = self.predict_duals(cost_dev)
-
         # Hybrid: float64 native solve per instance with f32-predicted seeds.
+        # u and v come back in one packed buffer — a single D2H readback
+        # (small transfers each pay tens of ms on a remote-attached device).
         from .solver.native import lapjv_seeded_native
 
-        u_np = np.asarray(u, np.float64)
-        v_np = np.asarray(v, np.float64)
+        packed_uv = np.asarray(self._predict_packed(self.params, cost_dev))
+        n = cost_dev.shape[-1]
+        u_np = packed_uv[:, 0, :].astype(np.float64)
+        v_np = packed_uv[:, 1, :].astype(np.float64)
         cost_np = np.asarray(cost, np.float64)
         if cost_np.ndim == 2:
             cost_np = cost_np[None]
