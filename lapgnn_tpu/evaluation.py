@@ -37,6 +37,7 @@ def evaluate_pipeline(
 
     feasible = []
     u_mse, v_mse, u_mae, v_mae = [], [], [], []
+    u_mae_gauge = []
     presolve_gap = []
     speedups = []
     assists = []
@@ -62,6 +63,10 @@ def evaluate_pipeline(
         v_mse.append(float(np.mean((v_np - v_star) ** 2)))
         u_mae.append(float(np.mean(np.abs(u_np - u_star))))
         v_mae.append(float(np.mean(np.abs(v_np - v_star))))
+        # Gauge-corrected: duals are defined up to a constant shift
+        # (u+c, v-c); remove the mean offset before comparing shapes.
+        du = u_np - u_star
+        u_mae_gauge.append(float(np.mean(np.abs(du - du.mean()))))
 
         red = C - u_np[:, None] - v_np[None, :]
         ub = float(
@@ -95,6 +100,7 @@ def evaluate_pipeline(
         "u_mse": float(np.mean(u_mse)),
         "v_mse": float(np.mean(v_mse)),
         "u_mae": float(np.mean(u_mae)),
+        "u_mae_gauge": float(np.mean(u_mae_gauge)),
         "v_mae": float(np.mean(v_mae)),
         "presolve_gap_mean": float(np.mean(presolve_gap)),
         "presolve_gap_median": float(np.median(presolve_gap)),

@@ -27,20 +27,41 @@ from .solver.seeded import lapjv_seeded_batch
 __all__ = ["WarmStartPipeline", "predict_duals_fn"]
 
 
-def predict_duals_fn(model: OneGNN, use_cost_refinement: bool = True):
+def predict_duals_fn(
+    model: OneGNN,
+    use_cost_refinement: bool = True,
+    normalize_costs: bool = False,
+):
     """Build a jittable (params, cost_batch) -> (u, v) function.
 
     Features, the model forward, and the min-trick column projection fuse into
     one device program; the returned (u, v) pair is always dual-feasible.
+
+    ``normalize_costs`` rescales each instance to [0, 1] before the model
+    (the reference's normalize01, advanced_dual.py:116-125) and maps the
+    duals back through the affine transform C = a*C' + b: (u, v) =
+    (a*u' + b, a*v') — feasibility and the optimal assignment are affine
+    invariant, so this only changes what the model sees, pinning
+    out-of-distribution cost scales (e.g. the noisy_linear family) back to
+    the training distribution.
     """
 
     @jax.jit
     def predict(params, cost):
-        feats = row_features(cost)
+        if normalize_costs:
+            mn = jnp.min(cost, axis=(-2, -1), keepdims=True)
+            mx = jnp.max(cost, axis=(-2, -1), keepdims=True)
+            a = jnp.maximum(mx - mn, 1e-12)
+            cost_in = (cost - mn) / a
+        else:
+            cost_in = cost
+        feats = row_features(cost_in)
         preds = model.apply(
-            params, feats, cost=cost if use_cost_refinement else None
+            params, feats, cost=cost_in if use_cost_refinement else None
         )
         u = preds["u"].astype(cost.dtype)
+        if normalize_costs:
+            u = u * a[..., 0, 0][..., None] + mn[..., 0, 0][..., None]
         v = min_trick_v(cost, u)
         return u, v
 
@@ -64,6 +85,7 @@ class WarmStartPipeline:
         eps: float = 1e-12,
         use_cost_refinement: bool = True,
         gate: str = "free_rows",
+        normalize_costs: bool = True,
     ):
         if mode not in ("device", "hybrid"):
             raise ValueError("mode must be 'device' or 'hybrid'")
@@ -75,7 +97,9 @@ class WarmStartPipeline:
         self.mode = mode
         self.eps = eps
         self.gate = gate
-        self._predict = predict_duals_fn(model, use_cost_refinement)
+        self._predict = predict_duals_fn(
+            model, use_cost_refinement, normalize_costs
+        )
         _predict_inner = self._predict
 
         @jax.jit
@@ -89,9 +113,11 @@ class WarmStartPipeline:
             # free-rows gate avoids the reference density gate's spurious
             # cold fallbacks (see lapjv_seeded_single docstring).
             self._solve = functools.partial(lapjv_seeded_batch, eps=eps, gate=gate)
-            self._e2e = self._build_e2e(model, use_cost_refinement, eps, gate)
+            self._e2e = self._build_e2e(
+                model, use_cost_refinement, eps, gate, normalize_costs
+            )
 
-    def _build_e2e(self, model, use_cost_refinement, eps, gate):
+    def _build_e2e(self, model, use_cost_refinement, eps, gate, normalize_costs):
         """One fused device program: features -> model -> min-trick -> seeded
         solve -> packed result.
 
@@ -106,15 +132,11 @@ class WarmStartPipeline:
         from .solver.seeded import lapjv_seeded_single
 
         single = functools.partial(lapjv_seeded_single, eps=eps, gate=gate)
+        predict = predict_duals_fn(model, use_cost_refinement, normalize_costs)
 
         @jax.jit
         def e2e(params, cost):
-            feats = row_features(cost)
-            preds = model.apply(
-                params, feats, cost=cost if use_cost_refinement else None
-            )
-            u = preds["u"].astype(cost.dtype)
-            v = min_trick_v(cost, u)
+            u, v = predict(params, cost)
             if cost.shape[0] == 1:
                 res1 = single(cost[0], u[0], v[0])
                 res = jax.tree_util.tree_map(lambda a: a[None], res1)
