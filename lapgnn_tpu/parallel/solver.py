@@ -1,0 +1,149 @@
+"""Sharded end-to-end seeded solve: the full pipeline partitioned over a mesh.
+
+North-star distributed path (net-new vs the reference, which is single-process
+— SURVEY.md §2.7): one instance's (n, n) cost matrix is sharded by ROWS over
+the mesh axis, and every phase of the warm-started JV solve
+(`solver/seeded.py`, mirroring lapjv_seeded.cpp:19-173) runs partitioned:
+
+  phase                       distributed shape
+  --------------------------  -------------------------------------------
+  feasibility projection      row-local min + column-min combine (pmin)
+  row tightening              row-local reduction
+  greedy tight matching       row-local proposals + O(n) column-acceptance
+                              combine per round
+  density / free-rows gate    local count + psum
+  micro-ARR / jacobi ARR      row-local two-min + O(n) column combine
+  sweep augmentation          min-plus matvec: row-local (n/S, n) relax +
+                              column-min pmin combine per sweep
+
+The enabling design choice is in `jv._sweep_shortest_paths`: relaxation
+through rows (d_k = min_i d[x_i] + red[i, k]) reads the row-sharded reduced
+costs IN PLACE — the column-graph formulation would need the row permutation
+red[y, :], an all-to-all per sweep.  All matching-state vectors (x, y, v, d)
+are O(n) and replicated; every collective moves O(n) data while every shard
+does O(n^2 / S) local work.
+
+Implementation is GSPMD: `jax.jit` with NamedSharding constraints on the
+inputs; XLA partitions the program and inserts the collectives (the
+mesh/annotate/compile recipe).  `assert_no_matrix_allgather` inspects the
+compiled HLO to pin down that no (n, n)-sized operand is ever gathered —
+the guard that GSPMD kept the program truly partitioned.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.dual import min_trick_v
+from ..ops.features import row_features
+from ..solver.seeded import SeededResult, lapjv_seeded_single
+
+__all__ = [
+    "make_sharded_seeded_solve",
+    "make_sharded_pipeline",
+    "assert_no_matrix_allgather",
+]
+
+
+def make_sharded_seeded_solve(
+    mesh: Mesh,
+    axis: str = "model",
+    eps: float = 1e-12,
+    gate: str = "free_rows",
+):
+    """Build jitted (C, u_seed, v_seed) -> SeededResult with C row-sharded.
+
+    C: (n, n) sharded P(axis, None); u_seed row-sharded; v_seed replicated.
+    Outputs (assignment vectors, cost) are replicated — they are O(n).
+    """
+    cost_s = NamedSharding(mesh, P(axis, None))
+    row_s = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(cost_s, row_s, rep),
+        out_shardings=SeededResult(rep, rep, rep, rep),
+    )
+    def solve(C, u_seed, v_seed):
+        return lapjv_seeded_single(C, u_seed, v_seed, eps=eps, gate=gate)
+
+    return solve
+
+
+def make_sharded_pipeline(
+    model,
+    mesh: Mesh,
+    axis: str = "model",
+    eps: float = 1e-12,
+    gate: str = "free_rows",
+    use_cost_refinement: bool = True,
+    normalize_costs: bool = True,
+):
+    """Full pipeline partitioned over the mesh for ONE large instance:
+
+        C (rows sharded) -> 21-D features (row-local + col-min combine)
+          -> OneGNN (row-parallel MLP + per-row top-k)
+          -> min-trick v (column-min pmin)
+          -> sharded seeded JV solve
+
+    Returns jitted (params, C) -> SeededResult.  Model params replicated.
+    """
+    cost_s = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, cost_s),
+        out_shardings=SeededResult(rep, rep, rep, rep),
+    )
+    def run(params, C):
+        if normalize_costs:
+            mn = jnp.min(C)
+            a = jnp.maximum(jnp.max(C) - mn, 1e-12)
+            C_in = (C - mn) / a
+        else:
+            C_in = C
+        feats = row_features(C_in[None])
+        preds = model.apply(
+            params, feats, cost=C_in[None] if use_cost_refinement else None
+        )
+        u = preds["u"][0].astype(C.dtype)
+        if normalize_costs:
+            u = u * a + mn
+        v = min_trick_v(C, u)
+        return lapjv_seeded_single(C, u, v, eps=eps, gate=gate)
+
+    return run
+
+
+_GATHER_RE = re.compile(r"all-gather[^=]*=\s*\S+\[([0-9,]+)\]")
+
+
+def assert_no_matrix_allgather(compiled, n: int, shards: int) -> None:
+    """Fail if the compiled HLO all-gathers any O(n^2)-sized operand.
+
+    The sharded solve's contract is that collectives only ever move O(n)
+    vectors; a full-matrix gather means GSPMD silently replicated the work.
+    Allows gathers up to 8n elements (vector combines padded to (n+1) etc.),
+    rejects anything within 4x of a full shard block (n^2 / shards).
+    """
+    text = compiled.as_text()
+    limit = max(8 * n, (n * n // shards) // 4)
+    for m in _GATHER_RE.finditer(text):
+        shape = [int(s) for s in m.group(1).split(",") if s]
+        size = 1
+        for s in shape:
+            size *= s
+        if size > limit:
+            raise AssertionError(
+                f"compiled sharded solve all-gathers a {shape} operand "
+                f"({size} elements > limit {limit}); the matrix is being "
+                "replicated instead of partitioned"
+            )

@@ -157,9 +157,15 @@ class LAPMODSolver(_Base):
 
     name = "lapmod"
 
-    def __init__(self, forbidden_threshold: float = 1e6, sentinel: float = 1e6):
+    def __init__(
+        self,
+        forbidden_threshold: float = 1e6,
+        sentinel: float = 1e6,
+        fp_version: int = 3,
+    ):
         self.forbidden_threshold = forbidden_threshold
         self.sentinel = sentinel
+        self.fp_version = fp_version
 
     def solve(self, C: np.ndarray) -> Result:
         from .native import (
@@ -172,8 +178,22 @@ class LAPMODSolver(_Base):
         C = np.asarray(C, dtype=np.float64)
         n = C.shape[0]
         row_ptr, col_idx, values = sparse_from_dense(C, self.forbidden_threshold)
+
+        # Auto-rescale when finite costs reach the LARGE sentinel range: the
+        # CSR path requires values < 1e6 (reference lapmod_solver.py:47-69
+        # rescales rather than rejecting).  The assignment is scale-invariant;
+        # cost is reported in original units.
+        scale = 1.0
+        if values.size:
+            vmax = float(values.max())
+            if vmax >= 1e6:
+                scale = vmax / 1e5  # map max finite cost to 1e5, well below LARGE
+                values = values / scale
         try:
-            x, _, cost = lapmod_native(n, row_ptr, col_idx, values)
+            x, _, cost = lapmod_native(
+                n, row_ptr, col_idx, values, fp_version=self.fp_version
+            )
+            cost *= scale
         except NativeSolveError:
             Cm = np.where(
                 ~np.isfinite(C) | (C >= self.forbidden_threshold), self.sentinel, C

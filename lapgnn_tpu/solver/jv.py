@@ -328,60 +328,72 @@ def augment_all_multisource(C: jnp.ndarray, m: Matching) -> Matching:
 
 class _SweepState(NamedTuple):
     d: jnp.ndarray         # (n,) distances over columns
-    pred_col: jnp.ndarray  # (n,) previous column on the path (-1: source layer)
+    pred_row: jnp.ndarray  # (n,) row through which d was achieved
     changed: jnp.ndarray
     sweeps: jnp.ndarray
 
 
 def _sweep_shortest_paths(
-    red_out: jnp.ndarray,  # (n, n): red_out[j, k] = reduced cost of edge col j -> col k
+    red: jnp.ndarray,       # (n, n) reduced costs (zero on matched edges)
+    free_row: jnp.ndarray,  # (n,) bool
+    x_safe: jnp.ndarray,    # (n,) matched column per row (0 for free rows)
     d0: jnp.ndarray,
+    pred0: jnp.ndarray,
     max_sweeps: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Min-plus Bellman–Ford over columns: d_k = min(d_k, min_j d_j + w[j,k]).
+    """Min-plus Bellman–Ford over columns, relaxed through ROWS.
 
-    Each sweep is one (n, n) broadcast + column-min reduction — pure VPU
-    work, no per-node pops.  Converges in (longest shortest-path hop count)
-    sweeps, which is small when the duals are good.
+    The column graph has edge j -> k of weight red[y_j, k]; substituting
+    i = y_j (so j = x_i) turns each sweep into
+        d_k = min(d_k, min_{matched i} (d[x_i] + red[i, k]))
+    — a min-plus matvec against ``red`` ITSELF.  The column-indexed
+    formulation would need the row-permuted gather ``red[y, :]`` (an O(n^2)
+    data movement per sweep, and a mesh-wide all-to-all once rows are
+    sharded); here the only gather is the O(n) ``d[x_i]``, the (n, n) work
+    reads ``red`` in place, and the column-min reduction over the row axis
+    shards cleanly (local reduce + pmin combine).  Self-edges (k = x_i)
+    relax d[x_i] with itself and never pass the strict `<` test.
+
+    Converges in (longest shortest-path hop count) sweeps, small when the
+    duals are good.  Tracks pred_row[k] = row through which d_k was set.
     """
-    n = d0.shape[0]
+    inf = jnp.asarray(jnp.inf, red.dtype)
 
     def cond(s: _SweepState):
         return s.changed & (s.sweeps <= max_sweeps)
 
     def body(s: _SweepState) -> _SweepState:
-        through = s.d[:, None] + red_out  # (j, k)
+        e = jnp.where(free_row, inf, s.d[x_safe])  # d at each row's matched col
+        through = e[:, None] + red  # (i, k)
         best = jnp.min(through, axis=0)
-        best_j = jnp.argmin(through, axis=0).astype(INT)
+        best_i = jnp.argmin(through, axis=0).astype(INT)
         improve = best < s.d
         d = jnp.where(improve, best, s.d)
-        pred_col = jnp.where(improve, best_j, s.pred_col)
-        return _SweepState(d, pred_col, jnp.any(improve), s.sweeps + 1)
+        pred_row = jnp.where(improve, best_i, s.pred_row)
+        return _SweepState(d, pred_row, jnp.any(improve), s.sweeps + 1)
 
-    init = _SweepState(
-        d0, jnp.full((n,), -1, INT), jnp.asarray(True), jnp.asarray(0, INT)
-    )
+    init = _SweepState(d0, pred0, jnp.asarray(True), jnp.asarray(0, INT))
     s = lax.while_loop(cond, body, init)
-    return s.d, s.pred_col
+    return s.d, s.pred_row
 
 
 def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
     """Augment every free row via min-plus sweep shortest paths.
 
-    Per round (one augmentation): build the column-to-column reduced-cost
-    graph (edge j -> k has weight red[y_j, k], the slack of column j's owner
-    at column k), seed distances from all free rows at once, run Bellman–Ford
-    sweeps to exact distances, then augment to the nearest free column and
-    apply the classical settled-set dual update v += min(d, delta) - delta
-    (identical to JV's READY-set update when distances are exact).
+    Per round (one augmentation): seed distances from all free rows at once,
+    run Bellman–Ford sweeps (row-relaxation form, `_sweep_shortest_paths`) to
+    exact distances, then augment to the nearest free column and apply the
+    classical settled-set dual update v += min(d, delta) - delta (identical
+    to JV's READY-set update when distances are exact).
 
     Replaces the pop-at-a-time Dijkstra (lapjv.cpp:221-282) whose ~n-iteration
     serial loop is latency-bound on TPU; here each round costs a handful of
-    fused O(n^2) VPU passes.
+    fused O(n^2) VPU passes, all of which read the row-sharded reduced-cost
+    matrix in place (no permuted gathers), so the same code runs partitioned
+    over a mesh.
     """
     n = C.shape[-1]
     inf = jnp.asarray(jnp.inf, C.dtype)
-    iota = lax.iota(INT, n)
 
     def cond(m: Matching):
         return jnp.any(m.col_of_row < 0)
@@ -401,16 +413,13 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
         red = slack - u[:, None]  # >= ~0, zero on matched edges
 
         # Source layer: direct reach from any free row.
-        d0 = jnp.min(jnp.where(free_row[:, None], red, inf), axis=0)
-        pred_row = jnp.argmin(jnp.where(free_row[:, None], red, inf), axis=0).astype(INT)
+        src = jnp.where(free_row[:, None], red, inf)
+        d0 = jnp.min(src, axis=0)
+        pred0 = jnp.argmin(src, axis=0).astype(INT)
 
-        # Column-to-column edges: out of matched columns via their owner row.
-        y_safe = jnp.where(y >= 0, y, 0)
-        red_out = jnp.where(free_col[:, None], inf, red[y_safe, :])
-        # No self loops.
-        red_out = jnp.where(iota[:, None] == iota[None, :], inf, red_out)
-
-        d, pred_col = _sweep_shortest_paths(red_out, d0, jnp.asarray(n, INT))
+        d, pred_row = _sweep_shortest_paths(
+            red, free_row, x_safe, d0, pred0, jnp.asarray(n, INT)
+        )
 
         d_free = jnp.where(free_col, d, inf)
         final_j = jnp.argmin(d_free).astype(INT)
@@ -419,18 +428,19 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
         # Dual update (exact distances make this JV's READY-set update).
         v = v + jnp.minimum(d, delta) - delta
 
-        # Flip along pred_col back to the source free row.
+        # Flip back to the source: pred_row[j] is the new owner of column j;
+        # continue from that row's previous column until a free row is hit.
         def flip_cond(state):
             j, x, y, done, k = state
             return (~done) & (k <= n)
 
         def flip_body(state):
             j, x, y, done, k = state
-            pc = pred_col[j]
-            i = jnp.where(pc < 0, pred_row[j], y[jnp.where(pc < 0, 0, pc)])
+            i = pred_row[j]
+            next_j = x[i]
             y = y.at[j].set(i)
             x = x.at[i].set(j)
-            return pc, x, y, pc < 0, k + 1
+            return next_j, x, y, next_j < 0, k + 1
 
         _, x, y, _, _ = lax.while_loop(
             flip_cond, flip_body, (final_j, x, y, jnp.asarray(False), jnp.asarray(0, INT))

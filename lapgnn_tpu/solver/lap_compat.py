@@ -12,9 +12,10 @@ backend:
   * ``lapmod(n, cc, ii, kk)`` — CSR sparse solve (lap/lapmod.py:273-340).
   * ``lapjv_seeded(cost, u, v, eps)`` — warm-started solve
     (lap/_seeded_jv.pyx:14-31).
-  * ``LARGE`` and the ``FP_*`` constants (lapjv.h:4,57) for API parity; the
-    lapx sparse solver has a single find-path strategy, so the fp_version
-    argument is accepted and ignored.
+  * ``LARGE`` and the ``FP_*`` constants (lapjv.h:4,57); ``fp_version``
+    selects the find-path strategy as in the reference — FP_1 dense scans,
+    FP_2 frontier list, FP_DYNAMIC dispatch at the 25% density threshold
+    (lapmod.cpp:559-585).
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ __all__ = ["lapjv", "lapmod", "lapjv_seeded", "LARGE", "FP_1", "FP_2", "FP_DYNAM
 # Sentinel cost used by the reference for forbidden sparse entries (lapjv.h:4).
 LARGE = 1000000
 
-# Find-path strategy flags (lapjv.h:57); accepted for compatibility.
+# Find-path strategy flags (lapjv.h:57).
 FP_1 = 1
 FP_2 = 2
 FP_DYNAMIC = 3
@@ -117,7 +118,7 @@ def lapmod(
     if np.any(cc >= LARGE):
         raise ValueError(f"costs must be below LARGE={LARGE}")
 
-    x, y, cost = lapmod_native(int(n), ii, kk, cc)
+    x, y, cost = lapmod_native(int(n), ii, kk, cc, fp_version=int(fp_version))
     if return_cost:
         return cost, np.asarray(x, np.int32), np.asarray(y, np.int32)
     return np.asarray(x, np.int32), np.asarray(y, np.int32)

@@ -152,7 +152,7 @@ def _bind_sparse(lib: "ctypes.CDLL") -> None:
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     lib.lapx_sparse.restype = ctypes.c_int
     lib.lapx_sparse.argtypes = [
-        ctypes.c_int, i32p, i32p, f64p, i32p, i32p, f64p, f64p,
+        ctypes.c_int, i32p, i32p, f64p, i32p, i32p, f64p, f64p, ctypes.c_int,
     ]
     lib._sparse_bound = True
 
@@ -163,12 +163,15 @@ def lapmod_native(
     col_idx: np.ndarray,
     values: np.ndarray,
     return_duals: bool = False,
+    fp_version: int = 3,
 ):
     """Sparse CSR solve (LAPMOD capability: reference LAP/_lapjv_cpp/lapmod.cpp).
 
-    Args mirror lap.lapmod's CSR triplet (row_ptr has n+1 entries).  Raises
-    NativeSolveError(-3) if the allowed edges admit no perfect matching.
-    Returns (col_of_row, row_of_col, cost[, u, v]).
+    Args mirror lap.lapmod's CSR triplet (row_ptr has n+1 entries).
+    ``fp_version``: 1 = dense-scan find-path, 2 = frontier-list find-path,
+    3 = dynamic dispatch at the 25% density threshold (lapmod.cpp:559-585).
+    Raises NativeSolveError(-3) if the allowed edges admit no perfect
+    matching.  Returns (col_of_row, row_of_col, cost[, u, v]).
     """
     lib = _lib()
     _bind_sparse(lib)
@@ -181,7 +184,9 @@ def lapmod_native(
     y = np.empty(n, np.int32)
     u = np.empty(n, np.float64)
     v = np.empty(n, np.float64)
-    rc = lib.lapx_sparse(n, row_ptr, col_idx, values, x, y, u, v)
+    rc = lib.lapx_sparse(
+        n, row_ptr, col_idx, values, x, y, u, v, int(fp_version)
+    )
     if rc != 0:
         raise NativeSolveError(f"lapx_sparse failed with code {rc}"
                                + (" (infeasible)" if rc == -3 else ""))

@@ -130,6 +130,7 @@ def train_progressive(
     use_cost = bool(mcfg.get("use_cost_refinement", False))
     normalize_gap = bool(config.get("loss", {}).get("normalize_gap", False))
     include_primal = bool(config.get("loss", {}).get("include_primal", True))
+    normalize_costs = bool(config.get("loss", {}).get("normalize_costs", False))
 
     epochs = int(tcfg.get("epochs", 40))
     min_epochs = int(tcfg.get("min_epochs", 10))
@@ -176,8 +177,10 @@ def train_progressive(
         params = init_params
     state = State(params, tx.init(params), jnp.asarray(0))
 
-    train_step = make_train_step(model, tx, use_cost, normalize_gap, include_primal)
-    eval_step = make_eval_step(model, use_cost)
+    train_step = make_train_step(
+        model, tx, use_cost, normalize_gap, include_primal, normalize_costs
+    )
+    eval_step = make_eval_step(model, use_cost, normalize_costs=normalize_costs)
 
     out_dir = Path(ccfg.get("output_dir", "artifacts/progressive"))
     meta_base = {

@@ -37,6 +37,7 @@ class TrainConfig:
     topk: int = 16
     use_cost_refinement: bool = False  # reference trains with cost=None (train_one_gnn.py:248)
     normalize_gap: bool = False  # scale-free primal gap across sizes
+    normalize_costs: bool = False  # train in the same normalized space the pipeline serves in
     include_primal: bool = True  # greedy upper bound term (False: dual surrogate)
     lr: float = 1e-3
     weight_decay: float = 1e-4
@@ -106,16 +107,37 @@ class BucketBatcher:
         )
 
 
+def _normalize_instance(cost, u_target):
+    """Per-instance affine rescale to [0, 1], with duals mapped consistently.
+
+    The serving pipeline normalizes costs before the model
+    (pipeline.predict_duals_fn, normalize_costs=True) and maps u back through
+    the affine transform; training in the same space removes a train/infer
+    distribution shift (the reference trains on raw costs and serves raw —
+    consistent but scale-fragile; here both sides are normalized).  Under
+    C' = (C - mn)/a the optimal duals map as u' = (u - mn)/a, v' = v/a.
+    """
+    mn = jnp.min(cost, axis=(-2, -1), keepdims=True)
+    mx = jnp.max(cost, axis=(-2, -1), keepdims=True)
+    a = jnp.maximum(mx - mn, 1e-12)
+    cost_n = (cost - mn) / a
+    u_n = (u_target - mn[..., 0, 0][..., None]) / a[..., 0, 0][..., None]
+    return cost_n, u_n
+
+
 def make_train_step(
     model: OneGNN,
     tx: optax.GradientTransformation,
     use_cost: bool,
     normalize_gap: bool = False,
     include_primal: bool = True,
+    normalize_costs: bool = False,
 ):
     """Jitted (state, cost, u_target, rng) -> (state, metrics)."""
 
     def loss_fn(params, cost, u_target, rng):
+        if normalize_costs:
+            cost, u_target = _normalize_instance(cost, u_target)
         feats = row_features(cost)
         preds = model.apply(
             params,
@@ -147,9 +169,16 @@ def make_train_step(
     return step
 
 
-def make_eval_step(model: OneGNN, use_cost: bool, normalize_gap: bool = False):
+def make_eval_step(
+    model: OneGNN,
+    use_cost: bool,
+    normalize_gap: bool = False,
+    normalize_costs: bool = False,
+):
     @jax.jit
     def step(params, cost, u_target):
+        if normalize_costs:
+            cost, u_target = _normalize_instance(cost, u_target)
         feats = row_features(cost)
         preds = model.apply(
             params, feats, cost=cost if use_cost else None, deterministic=True
@@ -201,9 +230,12 @@ def train_one_gnn(
     state = State(params, tx.init(params), jnp.asarray(0))
 
     train_step = make_train_step(
-        model, tx, cfg.use_cost_refinement, cfg.normalize_gap, cfg.include_primal
+        model, tx, cfg.use_cost_refinement, cfg.normalize_gap, cfg.include_primal,
+        cfg.normalize_costs,
     )
-    eval_step = make_eval_step(model, cfg.use_cost_refinement)
+    eval_step = make_eval_step(
+        model, cfg.use_cost_refinement, normalize_costs=cfg.normalize_costs
+    )
 
     history: Dict[str, list] = {"train_loss": [], "val_gap_median": []}
     best_params = jax.device_get(state.params)

@@ -1,0 +1,113 @@
+"""Sparse-solver parity suite: FP_1 / FP_2 / FP_DYNAMIC strategies, sparse
+ARR, auto-rescale, and golden fixtures at 1k/4k.
+
+Mirrors the coverage of the reference's ``LAP/lap/tests/test_lapmod.py``
+(strategy parametrisation at :79-313) on this framework's native backend.
+"""
+
+import numpy as np
+import pytest
+import scipy.optimize
+import scipy.sparse
+
+from lapgnn_tpu.solver import native
+from lapgnn_tpu.solver.api import LAPMODSolver
+from lapgnn_tpu.solver.lap_compat import FP_1, FP_2, FP_DYNAMIC, lapmod
+from lapgnn_tpu.solver.py_sparse import lapmod_py
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native toolchain unavailable"
+)
+
+
+def _sparse_instance(n, keep, rng, scale=1.0):
+    """Random sparse cost matrix, feasibility-repaired along the diagonal."""
+    C = rng.uniform(0.1, 1.0, (n, n)) * scale
+    mask = rng.uniform(size=(n, n)) < keep
+    perm = rng.permutation(n)
+    mask[np.arange(n), perm] = True  # guarantee a perfect matching exists
+    dense = np.where(mask, C, 1e6)
+    counts = mask.sum(axis=1).astype(np.int32)
+    row_ptr = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=row_ptr[1:])
+    col_idx = np.nonzero(mask)[1].astype(np.int32)
+    values = C[mask]
+    return dense, row_ptr, col_idx, values
+
+
+def _scipy_opt(dense):
+    r, c = scipy.optimize.linear_sum_assignment(dense)
+    return float(dense[r, c].sum())
+
+
+@pytest.mark.parametrize("fp", [FP_1, FP_2, FP_DYNAMIC])
+@pytest.mark.parametrize("keep", [0.08, 0.3, 0.7])
+def test_strategies_agree_with_scipy(fp, keep, rng):
+    n = 96
+    dense, row_ptr, col_idx, values = _sparse_instance(n, keep, rng)
+    opt = _scipy_opt(dense)
+    x, y, cost = native.lapmod_native(n, row_ptr, col_idx, values, fp_version=fp)
+    assert sorted(x.tolist()) == list(range(n))
+    assert cost == pytest.approx(opt, abs=1e-9)
+    # x/y are mutually inverse
+    assert all(y[x[i]] == i for i in range(n))
+
+
+@pytest.mark.parametrize("keep", [0.1, 0.5])
+def test_strategies_cross_agree_and_match_pyspec(keep, rng):
+    n = 64
+    dense, row_ptr, col_idx, values = _sparse_instance(n, keep, rng)
+    costs = []
+    for fp in (FP_1, FP_2):
+        _, _, cost = native.lapmod_native(n, row_ptr, col_idx, values, fp_version=fp)
+        costs.append(cost)
+    _, _, cost_py = lapmod_py(n, row_ptr, col_idx, values)
+    assert costs[0] == pytest.approx(costs[1], abs=1e-9)
+    assert costs[0] == pytest.approx(cost_py, abs=1e-9)
+
+
+def test_lapmod_compat_fp_version_is_honored(rng):
+    n = 48
+    dense, row_ptr, col_idx, values = _sparse_instance(n, 0.2, rng)
+    opt = _scipy_opt(dense)
+    for fp in (FP_1, FP_2, FP_DYNAMIC):
+        cost, x, y = lapmod(n, values, row_ptr, col_idx, fp_version=fp)
+        assert cost == pytest.approx(opt, abs=1e-9)
+
+
+def test_lapmod_solver_auto_rescales_large_costs(rng):
+    """Finite costs >= 1e6 are rescaled, not rejected (lapmod_solver.py:47-69)."""
+    n = 40
+    C = rng.uniform(1e6, 5e7, (n, n))
+    solver = LAPMODSolver(forbidden_threshold=np.inf)
+    rows, cols, cost = solver.solve(C)
+    opt = _scipy_opt(C)
+    assert sorted(cols.tolist()) == list(range(n))
+    assert cost == pytest.approx(opt, rel=1e-9)
+
+
+def test_single_edge_rows(rng):
+    """Rows with exactly one allowed edge exercise the ARR eviction path."""
+    n = 32
+    perm = rng.permutation(n)
+    # Half the rows have only their matching edge; rest are dense.
+    C = rng.uniform(0.1, 1.0, (n, n))
+    mask = np.ones((n, n), bool)
+    mask[: n // 2] = False
+    mask[np.arange(n), perm] = True
+    dense = np.where(mask, C, 1e6)
+    row_ptr, col_idx, values = native.sparse_from_dense(dense, 1e5)
+    opt = _scipy_opt(dense)
+    for fp in (FP_1, FP_2):
+        _, _, cost = native.lapmod_native(n, row_ptr, col_idx, values, fp_version=fp)
+        assert cost == pytest.approx(opt, abs=1e-9)
+
+
+@pytest.mark.parametrize("n,keep,seed", [(1024, 0.05, 3), (4096, 0.01, 4)])
+def test_golden_sparse_large(n, keep, seed):
+    """Golden fixtures at 1k/4k (reference test_lapmod.py 1k/4k fixtures)."""
+    rng = np.random.default_rng(seed)
+    dense, row_ptr, col_idx, values = _sparse_instance(n, keep, rng)
+    opt = _scipy_opt(dense)
+    _, _, cost = native.lapmod_native(n, row_ptr, col_idx, values, fp_version=FP_DYNAMIC)
+    assert cost == pytest.approx(opt, rel=1e-12)
