@@ -69,7 +69,7 @@ def make_sharded_seeded_solve(
     @functools.partial(
         jax.jit,
         in_shardings=(cost_s, row_s, rep),
-        out_shardings=SeededResult(rep, rep, rep, rep),
+        out_shardings=SeededResult(rep, rep, rep, rep, rep),
     )
     def solve(C, u_seed, v_seed):
         return lapjv_seeded_single(C, u_seed, v_seed, eps=eps, gate=gate)
@@ -101,7 +101,7 @@ def make_sharded_pipeline(
     @functools.partial(
         jax.jit,
         in_shardings=(rep, cost_s),
-        out_shardings=SeededResult(rep, rep, rep, rep),
+        out_shardings=SeededResult(rep, rep, rep, rep, rep),
     )
     def run(params, C):
         if normalize_costs:

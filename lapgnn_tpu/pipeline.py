@@ -86,9 +86,16 @@ class WarmStartPipeline:
         use_cost_refinement: bool = True,
         gate: str = "free_rows",
         normalize_costs: bool = True,
+        certify_tol: float = 1e-6,
     ):
         if mode not in ("device", "hybrid"):
             raise ValueError("mode must be 'device' or 'hybrid'")
+        # Large-n programs (n=16K) compile in minutes; the persistent cache
+        # makes that a once-per-machine cost (utils/compile_cache.py).
+        from .utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        self.certify_tol = certify_tol
         self.model = model
         # Checkpoint params arrive as host NumPy; commit them to the device
         # once — otherwise every call re-uploads ~20 arrays, each paying the
@@ -155,6 +162,7 @@ class WarmStartPipeline:
                     res.cost[:, None].astype(jnp.float32),
                     res.used_fallback[:, None].astype(jnp.float32),
                     res.col_of_row.astype(jnp.float32),
+                    res.v.astype(jnp.float32),  # duals: optimality certificate
                 ],
                 axis=1,
             )
@@ -166,19 +174,61 @@ class WarmStartPipeline:
         """(B, n, n) -> ((B, n) u, (B, n) v), dual-feasible."""
         return self._predict(self.params, cost)
 
-    def solve(self, cost) -> Dict[str, np.ndarray]:
-        """Solve a batch. Returns dict with col_of_row, cost, used_fallback."""
+    def solve(self, cost, certify: bool = False) -> Dict[str, np.ndarray]:
+        """Solve a batch. Returns dict with col_of_row, cost, used_fallback.
+
+        ``certify`` (device mode): evaluate the float64 dual certificate for
+        each result on the host (solver/verification.certify_assignment) and,
+        when the f32 solve cannot be certified within ``certify_tol``, polish
+        it by warm-starting the native f64 solver from the device duals.  The
+        returned dict gains 'certified' and 'gap_bound' arrays.  This is the
+        exactness policy for the f32 device path — the reference gets the
+        same guarantee from being float64 end-to-end (lapjv.h:55).
+        """
         cost_dev = jnp.asarray(cost, jnp.float32)
         if cost_dev.ndim == 2:
             cost_dev = cost_dev[None]
 
         if self.mode == "device":
+            n = cost_dev.shape[-1]
             packed = np.asarray(self._e2e(self.params, cost_dev))
-            return {
-                "col_of_row": packed[:, 2:].astype(np.int64),
+            out = {
+                "col_of_row": packed[:, 2 : 2 + n].astype(np.int64),
                 "cost": packed[:, 0].astype(np.float64),
                 "used_fallback": packed[:, 1] > 0.5,
             }
+            if certify:
+                from .solver.verification import certify_assignment
+
+                cost_np = np.asarray(cost, np.float64)
+                if cost_np.ndim == 2:
+                    cost_np = cost_np[None]
+                v_all = packed[:, 2 + n :].astype(np.float64)
+                certified = np.zeros(packed.shape[0], bool)
+                gap_bound = np.zeros(packed.shape[0])
+                for b in range(packed.shape[0]):
+                    ok, _, bound = certify_assignment(
+                        cost_np[b], out["col_of_row"][b], v_all[b],
+                        tol=self.certify_tol,
+                    )
+                    certified[b], gap_bound[b] = ok, bound
+                    if not ok:
+                        # f64 polish warm-started from the device duals.
+                        from .solver.native import lapjv_seeded_native
+
+                        u_b = (
+                            cost_np[b][np.arange(n), out["col_of_row"][b]]
+                            - v_all[b][out["col_of_row"][b]]
+                        )
+                        x, _, c = lapjv_seeded_native(
+                            cost_np[b], u_b, v_all[b], eps=self.eps
+                        )
+                        out["col_of_row"][b] = x
+                        out["cost"][b] = c
+                        certified[b], gap_bound[b] = True, 0.0
+                out["certified"] = certified
+                out["gap_bound"] = gap_bound
+            return out
 
         # Hybrid: float64 native solve per instance with f32-predicted seeds.
         # u and v come back in one packed buffer — a single D2H readback

@@ -29,7 +29,7 @@ non-negative, so on termination the assignment is optimal.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ __all__ = [
     "augment_all",
     "augment_all_multisource",
     "augment_all_sweep",
+    "polish_matching",
     "lapjv_single",
     "lapjv_batch",
     "matching_cost",
@@ -410,7 +411,14 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
         u_matched = jnp.take_along_axis(slack, x_safe[:, None], axis=1)[:, 0]
         u_free = jnp.min(slack, axis=1)
         u = jnp.where(free_row, u_free, u_matched)
-        red = slack - u[:, None]  # >= ~0, zero on matched edges
+        # True reduced costs are >= 0; float rounding can leave values at
+        # ~-ulp, and ANY negative weight lets the min-plus relaxation build a
+        # negative-weight cycle: distances shrink by O(ulp) per sweep until
+        # the sweep bound, and the predecessor graph acquires cycles that
+        # break the augmenting flip (observed in f32 on tie-heavy
+        # instances).  Clamping restores the non-negative-weight guarantee
+        # at a distance perturbation bounded by n*ulp.
+        red = jnp.maximum(slack - u[:, None], 0.0)  # zero on matched edges
 
         # Source layer: direct reach from any free row.
         src = jnp.where(free_row[:, None], red, inf)
@@ -448,6 +456,48 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
         return Matching(x, y, v)
 
     return lax.while_loop(cond, body, m)
+
+
+def polish_matching(
+    C: jnp.ndarray, m: Matching, eps: Optional[float] = None
+) -> Matching:
+    """Exactness polish: re-augment rows whose matched edge is provably wrong.
+
+    The warm greedy phase accepts edges within tight_eps of tight
+    (solver/seeded.py); on instances whose optima are separated by less than
+    that, such edges survive to termination and cost up to n*tight_eps of
+    suboptimality.  This pass computes each matched row's complementary-
+    slackness violation viol_i = slack[i, x_i] - min_j slack[i, j] (exactly
+    zero when the matched edge is the row minimum — same floats, same
+    reduction), unmatches every row with viol > eps, and re-runs the exact
+    sweep augmentation.  One extra O(n^2) pass when nothing is wrong; exact
+    re-matching of precisely the offending rows otherwise.
+    """
+    n = C.shape[-1]
+    iota = lax.iota(INT, n)
+    x, y, v = m
+    slack = C - v[None, :]
+    x_safe = jnp.where(x >= 0, x, 0)
+    matched_slack = jnp.take_along_axis(slack, x_safe[:, None], axis=1)[:, 0]
+    viol = jnp.where(x >= 0, matched_slack - jnp.min(slack, axis=1), 0.0)
+    if eps is None:
+        # A few ulps at the cost scale: catches real greedy mis-matches
+        # (~tight_eps-sized) while ignoring rounding noise on rows the
+        # augmentation matched correctly — re-augmenting those would cost
+        # time without changing the answer.
+        eps = 8.0 * float(jnp.finfo(C.dtype).eps)
+        threshold = eps * (1.0 + jnp.max(jnp.abs(C)))
+    else:
+        threshold = jnp.asarray(eps, C.dtype)
+    bad = viol > threshold
+
+    x_new = jnp.where(bad, -1, x)
+    y_new = (
+        jnp.full((n + 1,), -1, INT)
+        .at[jnp.where(x_new >= 0, x_new, n)]
+        .max(jnp.where(x_new >= 0, iota, -1))
+    )[:n]
+    return augment_all_sweep(C, Matching(x_new, y_new, v))
 
 
 def lapjv_single(C: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

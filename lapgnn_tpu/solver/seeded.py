@@ -43,6 +43,7 @@ from .jv import (
     augment_all_sweep,
     column_reduction,
     matching_cost,
+    polish_matching,
 )
 
 __all__ = [
@@ -283,6 +284,11 @@ class SeededResult(NamedTuple):
     row_of_col: jnp.ndarray
     cost: jnp.ndarray
     used_fallback: jnp.ndarray
+    # Final column duals: the optimality certificate.  With u_i implicitly
+    # C[i, x_i] - v[x_i], min_j (C_ij - u_i - v_j) >= -tol certifies the
+    # assignment within n*tol of optimal (enables the f64 certify/polish
+    # path for the f32 device solver, solver/verification.py).
+    v: jnp.ndarray
 
 
 def lapjv_seeded_single(
@@ -352,11 +358,16 @@ def lapjv_seeded_single(
     # and larger instances leave more free rows after the greedy phase.
     m = jacobi_arr(C, m, max_rounds=max(64, n // 16))
     m = augment_all_sweep(C, m)
+    # Exactness polish: the greedy phase accepts edges within tight_eps of
+    # tight; on optima separated by less than that, re-augment the offending
+    # rows exactly (one O(n^2) check when nothing is wrong).
+    m = polish_matching(C, m)
     return SeededResult(
         col_of_row=m.col_of_row,
         row_of_col=m.row_of_col,
         cost=matching_cost(C, m.col_of_row),
         used_fallback=use_fallback,
+        v=m.v,
     )
 
 
