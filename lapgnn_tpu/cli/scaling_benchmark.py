@@ -27,7 +27,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n", type=int, default=1024)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--hbm-peak-gbs", type=float, default=819.0,
+                   help="HBM peak bandwidth for roofline %% (819 GB/s = TPU v5e)")
+    p.add_argument("--roofline-n", type=int, nargs="+", default=[2048, 8192],
+                   help="matrix sizes for the single-device kernel roofline")
+    p.add_argument("--solve", action="store_true",
+                   help="also measure full warm-solve edges/s (slower)")
+    p.add_argument("--output", type=str, default=None,
+                   help="write the JSON result to this path")
     return p
+
+
+def _bench(fn, repeats):
+    """Median seconds over ``repeats`` after one warmup; fn must block."""
+    import time
+
+    fn()
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main(argv=None) -> None:
@@ -80,22 +102,84 @@ def main(argv=None) -> None:
         }
         print(f"mesh model={m}: {rate/1e9:.3f} Gedges/s efficiency={eff:.2%}")
 
-    # Fused min-trick bandwidth (roofline proxy).
+    # ------------------------------------------------------------------
+    # Single-device kernel roofline: the pipeline is HBM-bandwidth-bound
+    # (its hot ops stream C once per reduction), so achieved GB/s vs the
+    # HBM peak IS the roofline fraction for this workload (the moral
+    # equivalent of "% of SpMM roofline" in BASELINE.json).  Both the XLA
+    # lowering and the Pallas kernel are measured; the production pipeline
+    # uses whichever wins on the target backend.
+    # ------------------------------------------------------------------
+    import functools
+
+    from ..ops.dual import min_trick_v
+    from ..ops.features import row_features as row_features_fn
     from ..ops.pallas import pallas_min_trick
 
-    C1 = jnp.asarray(C[0])
-    u1 = jnp.zeros((n,), jnp.float32)
     interpret = jax.default_backend() == "cpu"
-    np.asarray(pallas_min_trick(C1, u1, interpret=interpret))
-    ts = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        np.asarray(pallas_min_trick(C1, u1, interpret=interpret))
-        ts.append(time.perf_counter() - t0)
-    gbs = (n * n * 4 / 1e9) / min(ts)
-    print(f"pallas min-trick: {gbs:.1f} GB/s ({min(ts)*1e3:.2f} ms)")
+    roofline = {}
+    for nr in args.roofline_n:
+        rngk = np.random.default_rng(7)
+        C1 = jnp.asarray(rngk.uniform(0, 1, (nr, nr)), jnp.float32)
+        u1 = jnp.zeros((nr,), jnp.float32)
+        bytes_read = nr * nr * 4
 
-    print(json.dumps({"per_mesh": results, "min_trick_gb_s": round(gbs, 2)}))
+        xla_mt = jax.jit(min_trick_v)
+        t_xla = _bench(lambda: xla_mt(C1, u1).block_until_ready(), args.repeats)
+        t_pls = _bench(
+            lambda: pallas_min_trick(C1, u1, interpret=interpret).block_until_ready(),
+            args.repeats,
+        )
+        feat = jax.jit(row_features_fn)
+        t_feat = _bench(lambda: feat(C1[None]).block_until_ready(), args.repeats)
+
+        entry = {
+            "min_trick_xla_gb_s": round(bytes_read / t_xla / 1e9, 2),
+            "min_trick_xla_roofline_pct": round(
+                100 * bytes_read / t_xla / 1e9 / args.hbm_peak_gbs, 1
+            ),
+            "min_trick_pallas_gb_s": round(bytes_read / t_pls / 1e9, 2),
+            "min_trick_pallas_roofline_pct": round(
+                100 * bytes_read / t_pls / 1e9 / args.hbm_peak_gbs, 1
+            ),
+            "row_features_gb_s": round(bytes_read / t_feat / 1e9, 2),
+            "row_features_edges_per_s": round(nr * nr / t_feat),
+        }
+        if args.solve:
+            from ..solver.seeded import lapjv_seeded_single
+
+            solve = jax.jit(functools.partial(lapjv_seeded_single, gate="free_rows"))
+            # GNN-quality synthetic seed: planted-optimum instance.
+            u_p = rngk.uniform(0, 1, nr)
+            v_p = rngk.uniform(0, 1, nr)
+            E = rngk.uniform(0.01, 1.0, (nr, nr))
+            perm = rngk.permutation(nr)
+            E[np.arange(nr), perm] = 0.0
+            Cp = jnp.asarray(u_p[:, None] + v_p[None, :] + E, jnp.float32)
+            u_s = jnp.asarray(u_p + rngk.normal(0, 3e-3, nr), jnp.float32)
+            v_s = jnp.min(Cp - u_s[:, None], axis=0)
+            t_solve = _bench(
+                lambda: solve(Cp, u_s, v_s).cost.block_until_ready(), args.repeats
+            )
+            entry["warm_solve_ms"] = round(t_solve * 1e3, 2)
+            entry["warm_solve_edges_per_s"] = round(nr * nr / t_solve)
+        roofline[nr] = entry
+        print(f"n={nr}: {json.dumps(entry)}")
+
+    out = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "hbm_peak_gbs": args.hbm_peak_gbs,
+        "pipeline_edges_per_s_per_mesh": results,
+        "roofline": roofline,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.output:
+        from pathlib import Path
+
+        Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.output).write_text(line + "\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,113 @@
+"""f32 exactness stress suite for the device solver (adversarial instances).
+
+The native solver is float64 like the reference (lapjv.h:55); the device
+solver runs float32.  Policy under test (solver/jv.py clamp + polish,
+solver/verification.certify_assignment):
+
+  * instances whose optima are separated by more than a few f32 ulps are
+    solved EXACTLY in f32 — including tie-heavy and near-tie instances;
+  * below that, the suboptimality is bounded by n * polish_eps, and the
+    f64 certificate + native polish (pipeline certify=True) restores
+    exactness.
+
+These run in f32 on the CPU backend — the same dtype path the TPU executes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from lapgnn_tpu.solver.seeded import lapjv_seeded_single
+from lapgnn_tpu.solver.verification import certify_assignment
+
+SOLVE = jax.jit(functools.partial(lapjv_seeded_single, gate="free_rows"))
+
+
+def _device_solve(C64, seed_noise=0.0, rng=None):
+    n = C64.shape[0]
+    C32 = jnp.asarray(C64, jnp.float32)
+    u0 = np.zeros(n, np.float32)
+    if seed_noise and rng is not None:
+        u0 += rng.normal(0, seed_noise, n).astype(np.float32)
+    v0 = jnp.min(C32 - u0[:, None], axis=0)
+    res = SOLVE(C32, jnp.asarray(u0), v0)
+    x = np.asarray(res.col_of_row)
+    assert sorted(x.tolist()) == list(range(n)), "not a permutation"
+    return x, np.asarray(res.v, np.float64)
+
+
+def _opt(C64):
+    r, c = scipy.optimize.linear_sum_assignment(C64)
+    return float(C64[r, c].sum())
+
+
+@pytest.mark.parametrize("levels", [4, 8, 64])
+def test_tie_heavy_binned_exact(levels, rng):
+    """Massive tie groups: separations are multiples of 1/levels >> f32 ulp."""
+    n = 512
+    C = np.floor(rng.uniform(0, 1, (n, n)) * levels) / levels
+    x, _ = _device_solve(C)
+    got = float(C[np.arange(n), x].sum())
+    assert got == pytest.approx(_opt(C), abs=1e-4)
+
+
+def test_near_tie_1e4_separation_exact(rng):
+    """Separations at 1e-4 — 1000x the f32 ulp — must be resolved exactly."""
+    n = 512
+    C = np.floor(rng.uniform(0, 1, (n, n)) * 8) / 8 + rng.uniform(0, 1e-4, (n, n))
+    x, _ = _device_solve(C)
+    got = float(C[np.arange(n), x].sum())
+    opt = _opt(C)
+    assert got == pytest.approx(opt, abs=n * 1e-6)
+
+
+def test_sub_ulp_separation_bounded_and_certified(rng):
+    """Separations at 1e-5 approach f32 resolution: gap must stay within the
+    documented bound, and the f64 certificate must quantify it."""
+    n = 512
+    C = np.floor(rng.uniform(0, 1, (n, n)) * 8) / 8 + rng.uniform(0, 1e-5, (n, n))
+    x, v = _device_solve(C)
+    got = float(C[np.arange(n), x].sum())
+    opt = _opt(C)
+    # polish_eps = 8 ulp * (1 + max C) ~ 2e-6; bound is n * polish_eps.
+    assert got - opt <= n * 4e-6
+
+    certified, violation, gap_bound = certify_assignment(C, x, v, tol=1e-6)
+    # The certificate's bound must dominate the true gap.
+    assert got - opt <= gap_bound + 1e-9
+
+
+def test_certify_and_polish_restores_exactness(rng):
+    """pipeline.solve(certify=True) on an adversarial instance: exact."""
+    pytest.importorskip("lapgnn_tpu.solver.native")
+    from lapgnn_tpu.models import OneGNN
+    from lapgnn_tpu.ops.features import row_features
+    from lapgnn_tpu.pipeline import WarmStartPipeline
+    from lapgnn_tpu.solver import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+
+    n = 256
+    C = np.floor(rng.uniform(0, 1, (n, n)) * 8) / 8 + rng.uniform(0, 1e-6, (n, n))
+    model = OneGNN(hidden=16, layers=1, dropout=0.0, topk=8)
+    c0 = jnp.asarray(C[None], jnp.float32)
+    params = model.init(jax.random.key(0), row_features(c0), cost=c0)
+    pipe = WarmStartPipeline(model, params, mode="device")
+    out = pipe.solve(C.astype(np.float32), certify=True)
+    assert out["certified"].all()
+    got = float(C[np.arange(n), out["col_of_row"][0]].sum())
+    assert got == pytest.approx(_opt(C), abs=1e-9)
+
+
+def test_certificate_rejects_bad_assignment(rng):
+    n = 64
+    C = rng.uniform(0, 1, (n, n))
+    x = np.arange(n)  # identity: almost surely suboptimal
+    v = np.min(C, axis=0)
+    certified, violation, bound = certify_assignment(C, x, v, tol=1e-6)
+    assert not certified and violation > 1e-3
