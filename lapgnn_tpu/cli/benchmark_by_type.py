@@ -71,7 +71,9 @@ def main(argv=None) -> None:
             maes.append(float(np.mean(np.abs(u_np - u_star))))
 
             s_pipe = time_rigorous(lambda: pipe.solve(Cd), 1, args.repeats)
-            _, _, _, info = lapjv_seeded_native(C, u_np, v_np, return_info=True)
+            _, _, _, info = lapjv_seeded_native(
+                C, u_np, v_np, return_info=True, gate=pipe.gate
+            )
             fallbacks.append(info["used_fallback"])
             if s_pipe["success"] and s_scipy["success"]:
                 sp = s_scipy["median"] / s_pipe["median"]

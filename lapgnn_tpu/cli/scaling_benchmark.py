@@ -116,22 +116,43 @@ def main(argv=None) -> None:
     from ..ops.features import row_features as row_features_fn
     from ..ops.pallas import pallas_min_trick
 
+    from jax import lax
+
     interpret = jax.default_backend() == "cpu"
+
+    def _kernel_time(fn, inner, repeats, *kargs):
+        """Per-iteration seconds with ``inner`` kernel launches folded into
+        ONE dispatched program: on a remote-attached device the per-call
+        round-trip (tens of ms) would otherwise swamp sub-ms kernels."""
+
+        @jax.jit
+        def run(*a):
+            def body(c, _):
+                out = fn(*a)
+                return c + jnp.sum(out), None  # fold to defeat DCE
+
+            s, _ = lax.scan(body, jnp.float32(0), None, length=inner)
+            return s
+
+        t = _bench(lambda: run(*kargs).block_until_ready(), repeats)
+        return t / inner
+
     roofline = {}
     for nr in args.roofline_n:
         rngk = np.random.default_rng(7)
         C1 = jnp.asarray(rngk.uniform(0, 1, (nr, nr)), jnp.float32)
         u1 = jnp.zeros((nr,), jnp.float32)
         bytes_read = nr * nr * 4
+        inner = max(4, int(2e9 // bytes_read))  # ~2 GB of traffic per timing
 
-        xla_mt = jax.jit(min_trick_v)
-        t_xla = _bench(lambda: xla_mt(C1, u1).block_until_ready(), args.repeats)
-        t_pls = _bench(
-            lambda: pallas_min_trick(C1, u1, interpret=interpret).block_until_ready(),
-            args.repeats,
+        t_xla = _kernel_time(min_trick_v, inner, args.repeats, C1, u1)
+        t_pls = _kernel_time(
+            lambda C, u: pallas_min_trick(C, u, interpret=interpret),
+            inner, args.repeats, C1, u1,
         )
-        feat = jax.jit(row_features_fn)
-        t_feat = _bench(lambda: feat(C1[None]).block_until_ready(), args.repeats)
+        t_feat = _kernel_time(
+            lambda C: row_features_fn(C[None]), max(2, inner // 8), args.repeats, C1
+        )
 
         entry = {
             "min_trick_xla_gb_s": round(bytes_read / t_xla / 1e9, 2),

@@ -293,7 +293,8 @@ class WarmStartPipeline:
         xs, costs, fbs = [], [], []
         for b in range(cost_np.shape[0]):
             x, _, c, info = lapjv_seeded_native(
-                cost_np[b], u_np[b], v_np[b], eps=self.eps, return_info=True
+                cost_np[b], u_np[b], v_np[b], eps=self.eps, return_info=True,
+                gate=self.gate,
             )
             xs.append(x)
             costs.append(c)

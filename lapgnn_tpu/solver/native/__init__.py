@@ -71,6 +71,7 @@ def _build_and_load() -> ctypes.CDLL:
         i32p,
         f64p,
         f64p,
+        ctypes.c_int,
     ]
     return lib
 
@@ -117,14 +118,23 @@ def lapjv_native(
     return x, y, cost
 
 
+_GATES = {"density": 0, "free_rows": 1, "never": 2}
+
+
 def lapjv_seeded_native(
     C: np.ndarray,
     u_seed: np.ndarray,
     v_seed: np.ndarray,
     eps: float = 1e-12,
     return_info: bool = False,
+    gate: str = "density",
 ):
-    """Warm-started solve. Returns (col_of_row, row_of_col, cost[, info])."""
+    """Warm-started solve. Returns (col_of_row, row_of_col, cost[, info]).
+
+    ``gate`` selects the cold-fallback criterion (mirrors the device solver):
+    "density" (reference 1.2n rule), "free_rows" (> half the rows unmatched
+    after the greedy phase), "never".
+    """
     C = np.ascontiguousarray(C, dtype=np.float64)
     n = C.shape[0]
     if C.shape != (n, n):
@@ -136,7 +146,9 @@ def lapjv_seeded_native(
     fb = np.zeros(1, np.int32)
     u = np.empty(n, np.float64)
     v = np.empty(n, np.float64)
-    rc = _lib().lapx_seeded(n, C, u_seed, v_seed, float(eps), x, y, fb, u, v)
+    rc = _lib().lapx_seeded(
+        n, C, u_seed, v_seed, float(eps), x, y, fb, u, v, _GATES[gate]
+    )
     if rc != 0:
         raise NativeSolveError(f"lapx_seeded failed with code {rc}")
     cost = float(C[np.arange(n), x].sum())

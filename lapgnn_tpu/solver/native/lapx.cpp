@@ -249,11 +249,17 @@ int lapx_dense(int n, const double* C, int32_t* x, int32_t* y, double* u_out,
 
 // Warm-started solve mirroring the reference's phase structure
 // (lapjv_seeded.cpp:19-173): project the seed to feasibility, tighten rows,
-// greedily match tight edges, gate on tight-edge density (< 1.2 n falls back
-// to a cold solve), micro-ARR on leftover free rows, then augment.
+// greedily match tight edges, gate, micro-ARR on leftover free rows, then
+// augment.  ``gate`` selects the cold-fallback criterion (mirrors the device
+// solver, solver/seeded.py): 0 = tight-edge density < 1.2 n (reference rule,
+// lapjv_seeded.cpp:116 — overly conservative for min-trick seeds whose tight
+// structure is sparse, e.g. metric-family instances), 1 = more than half the
+// rows still free after the greedy phase (a direct measure of remaining
+// augmentation work), 2 = never fall back (still exactly optimal).
 int lapx_seeded(int n, const double* C, const double* u_seed,
                 const double* v_seed, double eps, int32_t* x, int32_t* y,
-                int32_t* used_fallback, double* u_out, double* v_out) {
+                int32_t* used_fallback, double* u_out, double* v_out,
+                int gate) {
   if (n <= 0 || !C || !x || !y) return -2;
   DualState S(n, C);
 
@@ -298,7 +304,17 @@ int lapx_seeded(int n, const double* C, const double* u_seed,
     }
   }
 
-  if ((double)n_tight < 1.2 * (double)n) {
+  vector<int> free_rows;
+  for (int i = 0; i < n; ++i)
+    if (S.col_of_row[i] < 0) free_rows.push_back(i);
+
+  bool fallback = false;
+  if (gate == 0) {
+    fallback = (double)n_tight < 1.2 * (double)n;
+  } else if (gate == 1) {
+    fallback = (double)free_rows.size() > 0.5 * (double)n;
+  }  // gate == 2: never
+  if (fallback) {
     // Seed too poor: full cold solve.
     DualState cold(n, C);
     const int rc = solve_cold(cold);
@@ -308,10 +324,6 @@ int lapx_seeded(int n, const double* C, const double* u_seed,
     return 0;
   }
   if (used_fallback) *used_fallback = 0;
-
-  vector<int> free_rows;
-  for (int i = 0; i < n; ++i)
-    if (S.col_of_row[i] < 0) free_rows.push_back(i);
 
   // Micro-ARR: if a free row's cheapest column is itself free and the gap to
   // its second choice is significant, raise that column's potential to grow
