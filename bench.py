@@ -124,6 +124,28 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Pipelined streamed posture: H2D of instance k+1 overlaps the solve of
+    # instance k (pipeline.solve_stream) — the sustained-throughput number a
+    # production stream sees; per-instance cost -> max(transfer, compute).
+    try:
+        stream = [
+            np.asarray(generate_uniform_costs(N, seed=300 + k), np.float32)
+            for k in range(6)
+        ]
+        t0 = time.perf_counter()
+        outs = pipe.solve_stream(stream)
+        t_stream = (time.perf_counter() - t0) / len(stream)
+        t_scipy_ref = _median_time(
+            lambda: scipy.optimize.linear_sum_assignment(stream[0]), repeats=3
+        )
+        print(
+            f"# streamed-pipelined: {t_stream * 1e3:.1f}ms/instance, "
+            f"speedup {t_scipy_ref / t_stream:.3f}x",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# streamed-pipelined failed: {exc}", file=sys.stderr)
+
     # Batched throughput (secondary): amortises the fixed dispatch/readback.
     try:
         B = 4

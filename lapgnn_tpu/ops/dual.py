@@ -36,6 +36,7 @@ __all__ = [
     "masked_fill",
     "reduced_costs",
     "min_trick_v",
+    "fast_min_trick",
     "tighten_rows",
     "project_feasible",
     "dual_objective",
@@ -88,6 +89,39 @@ def min_trick_v(
     if mask is not None:
         v = jnp.where(mask, v, jnp.zeros_like(v))
     return v
+
+
+def fast_min_trick(
+    C: jnp.ndarray, u: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """``min_trick_v`` routed through the Pallas streamed kernel on TPU.
+
+    At n >= 4096 the XLA lowering of the unmasked column-min materialises the
+    (C - u) intermediate and loses most of the HBM bandwidth; the Pallas
+    kernel (ops/pallas/colmin.py) streams row tiles once with a VMEM
+    accumulator.  Masked, non-f32, small-n, or non-TPU calls fall back to the
+    XLA path (identical semantics).
+    """
+    n = C.shape[-1]
+    if (
+        mask is not None
+        or C.dtype != jnp.float32
+        or n < 4096
+        or jax.default_backend() != "tpu"
+    ):
+        return min_trick_v(C, u, mask)
+    from .pallas.colmin import pallas_min_trick
+
+    if C.ndim == 2:
+        return pallas_min_trick(C, u)
+    batch_shape = C.shape[:-2]
+    B = 1
+    for s in batch_shape:
+        B *= s
+    vf = jax.vmap(pallas_min_trick)(
+        C.reshape((B, n, C.shape[-1])), u.reshape((B, n))
+    )
+    return vf.reshape(batch_shape + (n,))
 
 
 def tighten_rows(
