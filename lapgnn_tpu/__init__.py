@@ -19,3 +19,17 @@ Layer map (bottom → top):
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS request (e.g. "cpu" for the virtual-mesh
+# dryrun/test paths) even when a site config pins jax_platforms to the TPU
+# tunnel — standard JAX env behavior that the pinned config would otherwise
+# override.  No-op when the env var is unset or jax is already initialized.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - jax already initialized
+        pass
