@@ -378,20 +378,108 @@ def _sweep_shortest_paths(
     return s.d, s.pred_row
 
 
-def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
-    """Augment every free row via min-plus sweep shortest paths.
+# Fixed path-length buffer for the multi-augmentation flip.  Augmenting
+# paths under good duals are a handful of hops; a sink whose path exceeds
+# the cap is simply deferred to the next round (correctness unaffected).
+_PATH_CAP = 64
 
-    Per round (one augmentation): seed distances from all free rows at once,
-    run Bellman–Ford sweeps (row-relaxation form, `_sweep_shortest_paths`) to
-    exact distances, then augment to the nearest free column and apply the
-    classical settled-set dual update v += min(d, delta) - delta (identical
-    to JV's READY-set update when distances are exact).
+
+def _flip_disjoint_paths(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    pred_row: jnp.ndarray,
+    cand: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flip a maximal set of vertex-disjoint augmenting paths.
+
+    ``cand`` marks free columns whose shortest-path distance equals the
+    round's delta (ties included): after the dual update every such path is
+    tight, so flipping any ROW-disjoint subset preserves feasibility and
+    complementary slackness (Hopcroft–Karp-style blocking augmentation on
+    the tight graph; row-disjointness implies column-disjointness because a
+    path's interior columns are the matched columns of its rows).
+
+    Candidates are consumed lowest-index first; a path that touches a row
+    already used this round is skipped (its sink stays free for the next
+    round).  Each path costs O(_PATH_CAP) work — negligible next to the
+    O(n^2) sweeps — and turns "one augmentation per round" into "one tie
+    GROUP per round", the dominant round-count reduction on instances whose
+    duals leave many equal-distance free columns (tie-heavy families, good
+    GNN seeds).
+    """
+    n = pred_row.shape[0]
+    iota_cap = lax.iota(INT, _PATH_CAP)
+
+    def outer_cond(s):
+        x, y, cand, used_row, k = s
+        return jnp.any(cand) & (k < n)
+
+    def outer_body(s):
+        x, y, cand, used_row, k = s
+        j0 = jnp.argmax(cand).astype(INT)  # first remaining candidate
+        cand = cand.at[j0].set(False)
+
+        # Walk the path, recording (row, col) hops; abort on a used row.
+        def walk_cond(w):
+            j, ok, done, L, rows, cols = w
+            return (~done) & ok & (L < _PATH_CAP)
+
+        def walk_body(w):
+            j, ok, done, L, rows, cols = w
+            i = pred_row[j]
+            ok = ok & (~used_row[i])
+            rows = rows.at[L].set(i)
+            cols = cols.at[L].set(j)
+            next_j = x[i]
+            return next_j, ok, next_j < 0, L + 1, rows, cols
+
+        _, ok, done, L, rows, cols = lax.while_loop(
+            walk_cond,
+            walk_body,
+            (
+                j0,
+                jnp.asarray(True),
+                jnp.asarray(False),
+                jnp.asarray(0, INT),
+                jnp.full((_PATH_CAP,), 0, INT),
+                jnp.full((_PATH_CAP,), 0, INT),
+            ),
+        )
+        ok = ok & done  # complete, conflict-free path
+
+        # Commit the flips (no-op scatter when not ok / beyond the length).
+        apply = ok & (iota_cap < L)
+        rows_t = jnp.where(apply, rows, n)
+        cols_t = jnp.where(apply, cols, n)
+        x = x.at[rows_t].set(cols, mode="drop")
+        y = y.at[cols_t].set(rows, mode="drop")
+        used_row = used_row.at[rows_t].set(True, mode="drop")
+        return x, y, cand, used_row, k + 1
+
+    x, y, _, _, _ = lax.while_loop(
+        outer_cond,
+        outer_body,
+        (x, y, cand, jnp.zeros((n,), jnp.bool_), jnp.asarray(0, INT)),
+    )
+    return x, y
+
+
+def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
+    """Augment free rows via min-plus sweep shortest paths, a tie GROUP per
+    round.
+
+    Per round: seed distances from all free rows at once, run Bellman–Ford
+    sweeps (row-relaxation form, `_sweep_shortest_paths`) to exact distances,
+    apply the classical settled-set dual update v += min(d, delta) - delta
+    (identical to JV's READY-set update when distances are exact), then flip
+    a maximal vertex-disjoint set of augmenting paths among ALL free columns
+    at distance delta (`_flip_disjoint_paths`) — not just one.
 
     Replaces the pop-at-a-time Dijkstra (lapjv.cpp:221-282) whose ~n-iteration
-    serial loop is latency-bound on TPU; here each round costs a handful of
-    fused O(n^2) VPU passes, all of which read the row-sharded reduced-cost
-    matrix in place (no permuted gathers), so the same code runs partitioned
-    over a mesh.
+    serial loop is latency-bound on TPU; each round costs a handful of fused
+    O(n^2) VPU passes, all of which read the row-sharded reduced-cost matrix
+    in place (no permuted gathers), so the same code runs partitioned over a
+    mesh.
     """
     n = C.shape[-1]
     inf = jnp.asarray(jnp.inf, C.dtype)
@@ -430,29 +518,19 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
         )
 
         d_free = jnp.where(free_col, d, inf)
-        final_j = jnp.argmin(d_free).astype(INT)
-        delta = d_free[final_j]
+        delta = jnp.min(d_free)
 
         # Dual update (exact distances make this JV's READY-set update).
         v = v + jnp.minimum(d, delta) - delta
 
-        # Flip back to the source: pred_row[j] is the new owner of column j;
-        # continue from that row's previous column until a free row is hit.
-        def flip_cond(state):
-            j, x, y, done, k = state
-            return (~done) & (k <= n)
-
-        def flip_body(state):
-            j, x, y, done, k = state
-            i = pred_row[j]
-            next_j = x[i]
-            y = y.at[j].set(i)
-            x = x.at[i].set(j)
-            return next_j, x, y, next_j < 0, k + 1
-
-        _, x, y, _, _ = lax.while_loop(
-            flip_cond, flip_body, (final_j, x, y, jnp.asarray(False), jnp.asarray(0, INT))
-        )
+        # All free columns at distance delta (a few-ulp relative tolerance —
+        # truly tied paths differ only by summation rounding; anything
+        # coarser flips near-tied paths whose slack then costs extra polish
+        # rounds and dual drift) are tight sinks after the update; flip a
+        # maximal disjoint set of their paths.
+        tie_tol = 8.0 * jnp.finfo(C.dtype).eps * (1.0 + jnp.abs(delta))
+        cand = free_col & (d_free <= delta + tie_tol)
+        x, y = _flip_disjoint_paths(x, y, pred_row, cand)
         return Matching(x, y, v)
 
     return lax.while_loop(cond, body, m)
