@@ -20,6 +20,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -67,6 +68,76 @@ def _median_from_sorted(sorted_vals: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (sorted_vals[..., mid - 1] + sorted_vals[..., mid])
 
 
+def _kth_of_merged(A: jnp.ndarray, B: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Rank-k (0-indexed) element of merge(A, B) along the last axis.
+
+    A (..., p) and B (..., q) are each sorted ascending.  Classic two-sorted-
+    arrays selection: bisect over i = how many elements of the merged prefix
+    come from A; a split is valid iff A[i-1] <= B[k-i] and B[k-i-1] <= A[i]
+    (sentinels at the ends).  Exact — no value-space bisection — in
+    ceil(log2) gather rounds, each a cheap per-row take_along_axis.
+    """
+    p, q = A.shape[-1], B.shape[-1]
+    neg = jnp.asarray(-jnp.inf, A.dtype)
+    pos = jnp.asarray(jnp.inf, A.dtype)
+    Ap = jnp.concatenate(
+        [jnp.full(A.shape[:-1] + (1,), neg), A, jnp.full(A.shape[:-1] + (1,), pos)],
+        axis=-1,
+    )  # Ap[i] == A[i-1] with sentinels
+    Bp = jnp.concatenate(
+        [jnp.full(B.shape[:-1] + (1,), neg), B, jnp.full(B.shape[:-1] + (1,), pos)],
+        axis=-1,
+    )
+
+    lo0 = max(0, k + 1 - q)
+    hi0 = min(k + 1, p)
+    lo = jnp.full(A.shape[:-1], lo0, jnp.int32)
+    hi = jnp.full(A.shape[:-1], hi0, jnp.int32)
+
+    def take(X, idx):
+        return jnp.take_along_axis(X, idx[..., None], axis=-1)[..., 0]
+
+    steps = max(1, int(np.ceil(np.log2(max(2, hi0 - lo0 + 1)))) + 1)
+    for _ in range(steps):
+        i = (lo + hi) // 2  # take i elements from A
+        j = k + 1 - i       # and j from B
+        # Need A[i-1] <= B[j] (i.e. Ap[i] <= Bp[j+1]); otherwise shrink hi.
+        a_last = take(Ap, i)        # A[i-1]
+        b_next = take(Bp, j + 1)    # B[j]
+        need_less_from_A = a_last > b_next
+        hi = jnp.where(need_less_from_A, i - 1, hi)
+        # Need B[j-1] <= A[i] (Bp[j] <= Ap[i+1]); otherwise grow lo.
+        b_last = take(Bp, j)        # B[j-1]
+        a_next = take(Ap, i + 1)    # A[i]
+        need_more_from_A = b_last > a_next
+        lo = jnp.where(need_less_from_A, lo, jnp.where(need_more_from_A, i + 1, i))
+        hi = jnp.where(need_less_from_A, hi, jnp.where(need_more_from_A, hi, i))
+
+    i = lo
+    j = k + 1 - i
+    return jnp.maximum(take(Ap, i), take(Bp, j))
+
+
+def _mad_from_sorted(sorted_vals: jnp.ndarray, med: jnp.ndarray) -> jnp.ndarray:
+    """Median absolute deviation given the pre-sorted values and their median.
+
+    The sorted |x - med| sequence is the merge of two already-sorted halves:
+    (med - below-half reversed) and (above-half - med) — so the second full
+    row sort the naive formulation pays (the single most expensive op in the
+    21-D feature pass at large n) collapses to an O(log n) exact selection
+    (`_kth_of_merged`).
+    """
+    m = sorted_vals.shape[-1]
+    mid = m // 2
+    A = med[..., None] - sorted_vals[..., :mid][..., ::-1]  # ascending deviations
+    B = sorted_vals[..., mid:] - med[..., None]             # ascending deviations
+    if m % 2 == 1:
+        return _kth_of_merged(A, B, mid)
+    lo_v = _kth_of_merged(A, B, mid - 1)
+    hi_v = _kth_of_merged(A, B, mid)
+    return 0.5 * (lo_v + hi_v)
+
+
 def _entropy(C: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Stabilised softmax entropy of exp(-C) along ``axis``
     (features.py:179-182: shift by the min before exponentiating)."""
@@ -98,8 +169,8 @@ def row_features(C: jnp.ndarray) -> jnp.ndarray:
 
     sorted_C = jnp.sort(Cf, axis=-1)
     row_med = _median_from_sorted(sorted_C)
-    abs_dev = jnp.abs(Cf - row_med[..., None])
-    row_mad = _median_from_sorted(jnp.sort(abs_dev, axis=-1))
+    # MAD via exact merged-halves selection — avoids a second full row sort.
+    row_mad = _mad_from_sorted(sorted_C, row_med)
     row_mad = jnp.maximum(row_mad, EPS)
 
     row_entropy = _entropy(Cf, axis=-1)

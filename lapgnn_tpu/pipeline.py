@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import OneGNN
-from .ops.dual import min_trick_v
+from .ops.dual import fast_min_trick
 from .ops.features import row_features
 from .solver.seeded import lapjv_seeded_batch
 
@@ -62,7 +62,9 @@ def predict_duals_fn(
         u = preds["u"].astype(cost.dtype)
         if normalize_costs:
             u = u * a[..., 0, 0][..., None] + mn[..., 0, 0][..., None]
-        v = min_trick_v(cost, u)
+        # Pallas streamed kernel at n >= 4096 on TPU (XLA's lowering loses
+        # most of the HBM bandwidth there); XLA elsewhere.
+        v = fast_min_trick(cost, u)
         return u, v
 
     return predict
