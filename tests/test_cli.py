@@ -69,8 +69,13 @@ def test_scaling_benchmark_cli(capsys):
         pytest.skip("needs multiple virtual devices")
     from lapgnn_tpu.cli import scaling_benchmark
 
-    scaling_benchmark.main(["--meshes", "1", "2", "--n", "128", "--batch", "1", "--repeats", "2"])
+    scaling_benchmark.main(
+        ["--meshes", "1", "2", "--n", "128", "--batch", "1", "--repeats", "2",
+         "--roofline-n", "128"]
+    )
     out = capsys.readouterr().out
     data = json.loads(out.strip().splitlines()[-1])
-    assert "per_mesh" in data and "1" in data["per_mesh"]
-    assert data["per_mesh"]["1"]["scaling_efficiency"] == 1.0
+    meshes = data["pipeline_edges_per_s_per_mesh"]
+    assert "1" in meshes and meshes["1"]["scaling_efficiency"] == 1.0
+    assert "128" in data["roofline"]
+    assert data["roofline"]["128"]["min_trick_xla_gb_s"] > 0
