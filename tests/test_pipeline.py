@@ -51,6 +51,20 @@ def test_pipeline_duals_always_feasible(tiny_model, rng):
     assert red.min() >= -1e-5
 
 
+def test_solve_stream_matches_solve(tiny_model, rng):
+    """Pipelined streaming path agrees with per-call solve and is optimal."""
+    model, params = tiny_model
+    pipe = WarmStartPipeline(model, params, mode="device")
+    costs = [FAMILIES["uniform"](16, rng).astype(np.float32) for _ in range(4)]
+    outs = pipe.solve_stream(costs)
+    assert len(outs) == 4
+    for C, out in zip(costs, outs):
+        r, c = scipy.optimize.linear_sum_assignment(C.astype(np.float64))
+        opt = C[r, c].sum()
+        got = C[np.arange(16), out["col_of_row"][0]].sum()
+        assert abs(got - opt) < 1e-4 * max(1, abs(opt))
+
+
 def test_evaluation_metrics(tiny_model):
     model, params = tiny_model
     pipe = WarmStartPipeline(model, params, mode="hybrid")
