@@ -299,6 +299,7 @@ def lapjv_seeded_single(
     project_rounds: int = 2,
     gate: str = "density",
     free_rows_frac: float = 0.5,
+    arr_rounds: int = 0,
 ) -> SeededResult:
     """Warm-started dense JV solve for one square instance.
 
@@ -353,10 +354,10 @@ def lapjv_seeded_single(
 
     m = lax.cond(use_fallback, cold, warm, None)
     # Parallel ARR collapses most remaining free rows with O(n^2)-per-round
-    # vector work; min-plus sweep augmentation finishes the rest.  Rounds
-    # scale with n: each round is cheap relative to one sweep augmentation,
-    # and larger instances leave more free rows after the greedy phase.
-    m = jacobi_arr(C, m, max_rounds=max(64, n // 16))
+    # vector work; min-plus sweep augmentation (which flips a whole
+    # tied-distance GROUP of paths per round) finishes the rest.  Rounds
+    # scale with n by default; ``arr_rounds`` overrides for tuning.
+    m = jacobi_arr(C, m, max_rounds=arr_rounds or max(64, n // 16))
     m = augment_all_sweep(C, m)
     # Exactness polish: the greedy phase accepts edges within tight_eps of
     # tight; on optima separated by less than that, re-augment the offending
