@@ -341,6 +341,7 @@ def _sweep_shortest_paths(
     d0: jnp.ndarray,
     pred0: jnp.ndarray,
     max_sweeps: jnp.ndarray,
+    free_col: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Min-plus Bellman–Ford over columns, relaxed through ROWS.
 
@@ -357,8 +358,15 @@ def _sweep_shortest_paths(
 
     Converges in (longest shortest-path hop count) sweeps, small when the
     duals are good.  Tracks pred_row[k] = row through which d_k was set.
+
+    With ``free_col`` given, sweeping stops as soon as no distance at or
+    below the current best free-column distance changes: along a shortest
+    path distances are non-decreasing (weights >= 0), so once the region
+    below that threshold is stable it is final — later sweeps only refine
+    farther nodes, which the delta-capped dual update ignores anyway.
     """
     inf = jnp.asarray(jnp.inf, red.dtype)
+    tol = 8.0 * jnp.finfo(red.dtype).eps
 
     def cond(s: _SweepState):
         return s.changed & (s.sweeps <= max_sweeps)
@@ -371,7 +379,13 @@ def _sweep_shortest_paths(
         improve = best < s.d
         d = jnp.where(improve, best, s.d)
         pred_row = jnp.where(improve, best_i, s.pred_row)
-        return _SweepState(d, pred_row, jnp.any(improve), s.sweeps + 1)
+        if free_col is None:
+            changed = jnp.any(improve)
+        else:
+            dmin_free = jnp.min(jnp.where(free_col, d, inf))
+            thresh = dmin_free + tol * (1.0 + jnp.abs(dmin_free))
+            changed = jnp.any(improve & (d <= thresh))
+        return _SweepState(d, pred_row, changed, s.sweeps + 1)
 
     init = _SweepState(d0, pred0, jnp.asarray(True), jnp.asarray(0, INT))
     s = lax.while_loop(cond, body, init)
@@ -514,7 +528,7 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
         pred0 = jnp.argmin(src, axis=0).astype(INT)
 
         d, pred_row = _sweep_shortest_paths(
-            red, free_row, x_safe, d0, pred0, jnp.asarray(n, INT)
+            red, free_row, x_safe, d0, pred0, jnp.asarray(n, INT), free_col
         )
 
         d_free = jnp.where(free_col, d, inf)
