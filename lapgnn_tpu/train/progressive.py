@@ -197,6 +197,12 @@ def train_progressive(
     history = {"train_loss": [], "val_gap_median_avg": []}
     best = {"gap": float("inf"), "params": jax.device_get(state.params)}
     bad = 0
+    # The val-gap average is only comparable between epochs that validate the
+    # SAME split set; while the curriculum is still admitting datasets the
+    # metric mixes different size populations (an epoch-0 small-n-only
+    # average can look "better" than any full-curriculum epoch).  Track best
+    # / early-stop only once every dataset is active.
+    all_active_epoch = max((s.curriculum_start_epoch for s in specs), default=0)
 
     for epoch in range(epochs):
         t0 = time.perf_counter()
@@ -240,6 +246,8 @@ def train_progressive(
             {**meta_base, "epoch": epoch, "val_gap_median_avg": gap_avg},
             opt_state=jax.device_get(state.opt_state),
         )
+        if epoch < all_active_epoch:
+            continue
         if gap_avg < best["gap"] - 1e-9:
             best = {"gap": gap_avg, "params": jax.device_get(state.params)}
             bad = 0
