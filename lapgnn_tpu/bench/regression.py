@@ -95,7 +95,7 @@ def run_regression(sizes, families, repeats=5, include_device=False, seed=0):
                 ud = jnp.asarray(u, jnp.float32)
                 vd = jnp.min(Cd - ud[:, None], axis=0)
                 t_dev = _time(
-                    lambda: solve(Cd, ud, vd).cost.block_until_ready(), repeats
+                    lambda: float(solve(Cd, ud, vd).cost), repeats
                 )
                 cell["device_seeded_ms"] = round(t_dev * 1e3, 3)
 

@@ -126,15 +126,21 @@ def main(argv=None) -> None:
         round-trip (tens of ms) would otherwise swamp sub-ms kernels."""
 
         @jax.jit
-        def run(*a):
+        def run(seed, *a):
             def body(c, _):
-                out = fn(*a)
-                return c + jnp.sum(out), None  # fold to defeat DCE
+                # Thread the carry into an operand: defeats loop-invariant
+                # hoisting (the kernel must re-execute every iteration).
+                out = fn(a[0], *[x + c * jnp.float32(1e-30) for x in a[1:]]) \
+                    if len(a) > 1 else fn(a[0] + c * jnp.float32(1e-30))
+                return c * jnp.float32(1.0000001) + jnp.sum(out) * 0, jnp.sum(out)
 
-            s, _ = lax.scan(body, jnp.float32(0), None, length=inner)
-            return s
+            s, outs = lax.scan(body, seed, None, length=inner)
+            return s + jnp.sum(outs)
 
-        t = _bench(lambda: run(*kargs).block_until_ready(), repeats)
+        # Device sync MUST be a D2H readback: on this remote-attached
+        # platform block_until_ready can return before execution finishes.
+        seeds = iter(jnp.float32(1e-6 * (k + 1)) for k in range(100))
+        t = _bench(lambda: float(run(next(seeds), *kargs)), repeats)
         return t / inner
 
     roofline = {}
@@ -179,8 +185,9 @@ def main(argv=None) -> None:
             Cp = jnp.asarray(u_p[:, None] + v_p[None, :] + E, jnp.float32)
             u_s = jnp.asarray(u_p + rngk.normal(0, 3e-3, nr), jnp.float32)
             v_s = jnp.min(Cp - u_s[:, None], axis=0)
+            # float() forces the D2H readback — the only reliable sync here.
             t_solve = _bench(
-                lambda: solve(Cp, u_s, v_s).cost.block_until_ready(), args.repeats
+                lambda: float(solve(Cp, u_s, v_s).cost), args.repeats
             )
             entry["warm_solve_ms"] = round(t_solve * 1e3, 2)
             entry["warm_solve_edges_per_s"] = round(nr * nr / t_solve)

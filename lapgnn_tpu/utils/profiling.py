@@ -37,7 +37,10 @@ class StageProfiler:
             yield box
         finally:
             if "out" in box:
-                jax.block_until_ready(box["out"])
+                # Materialize to host: on remote-attached platforms
+                # block_until_ready can return before execution finishes;
+                # only the D2H readback is a reliable sync point.
+                jax.tree_util.tree_map(np.asarray, box["out"])
             self.stages.setdefault(name, []).append(time.perf_counter() - t0)
 
     def summary_ms(self) -> Dict[str, float]:
