@@ -61,7 +61,7 @@ def run_regression(sizes, families, repeats=5, include_device=False, seed=0):
             for noise in (0.0, 0.1):
                 un = u + rng.normal(0, noise, n) if noise else u
                 t_seed = _time(
-                    lambda: native.lapjv_seeded_native(C, un, v, gate="free_rows"),
+                    lambda: native.lapjv_seeded_native(C, un, v, gate="both"),
                     repeats,
                 )
                 key = f"lapx_seeded_noise{noise:g}"
@@ -89,7 +89,7 @@ def run_regression(sizes, families, repeats=5, include_device=False, seed=0):
                 from ..solver.seeded import lapjv_seeded_single
 
                 solve = jax.jit(
-                    functools.partial(lapjv_seeded_single, gate="free_rows")
+                    functools.partial(lapjv_seeded_single, gate="both")
                 )
                 Cd = jnp.asarray(C, jnp.float32)
                 ud = jnp.asarray(u, jnp.float32)
@@ -126,7 +126,7 @@ def run_real(files, repeats=5):
         cell["lapx_dense_ms"] = round(t_cold * 1e3, 3)
         u, v = oracle_duals_np(C)
         t_seed = _time(
-            lambda: native.lapjv_seeded_native(C, u, v, gate="free_rows"), repeats
+            lambda: native.lapjv_seeded_native(C, u, v, gate="both"), repeats
         )
         cell["lapx_seeded_oracle_ms"] = round(t_seed * 1e3, 3)
         cell["seeded_vs_scipy"] = round(t_scipy / t_seed, 3)

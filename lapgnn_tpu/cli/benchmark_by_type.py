@@ -57,7 +57,7 @@ def main(argv=None) -> None:
     per_family = {}
 
     for fam in args.families:
-        speedups, maes, fallbacks = [], [], []
+        speedups, maes, gauge_maes, fallbacks = [], [], [], []
         for k in range(args.instances):
             C = FAMILIES[fam](args.size, rng)
             s_scipy = time_rigorous(
@@ -69,6 +69,10 @@ def main(argv=None) -> None:
             v_np = np.asarray(v_pred[0], np.float64)
             u_star, v_star = oracle_duals_np(C)
             maes.append(float(np.mean(np.abs(u_np - u_star))))
+            # Duals are defined up to a constant shift (u+c, v-c); remove it
+            # before comparing shapes.
+            du = u_np - u_star
+            gauge_maes.append(float(np.mean(np.abs(du - du.mean()))))
 
             s_pipe = time_rigorous(lambda: pipe.solve(Cd), 1, args.repeats)
             _, _, _, info = lapjv_seeded_native(
@@ -83,6 +87,7 @@ def main(argv=None) -> None:
         per_family[fam] = {
             "speedup_mean": float(np.mean(speedups)) if speedups else None,
             "u_mae_mean": float(np.mean(maes)),
+            "u_mae_gauge_mean": float(np.mean(gauge_maes)),
             "fallback_rate": float(np.mean(fallbacks)),
         }
         print(f"{fam}: {json.dumps(per_family[fam])}")

@@ -175,7 +175,7 @@ def main(argv=None) -> None:
         if args.solve:
             from ..solver.seeded import lapjv_seeded_single
 
-            solve = jax.jit(functools.partial(lapjv_seeded_single, gate="free_rows"))
+            solve = jax.jit(functools.partial(lapjv_seeded_single, gate="both"))
             # GNN-quality synthetic seed: planted-optimum instance.
             u_p = rngk.uniform(0, 1, nr)
             v_p = rngk.uniform(0, 1, nr)

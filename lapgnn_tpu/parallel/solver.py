@@ -55,7 +55,7 @@ def make_sharded_seeded_solve(
     mesh: Mesh,
     axis: str = "model",
     eps: float = 1e-12,
-    gate: str = "free_rows",
+    gate: str = "both",
 ):
     """Build jitted (C, u_seed, v_seed) -> SeededResult with C row-sharded.
 
@@ -82,7 +82,7 @@ def make_sharded_pipeline(
     mesh: Mesh,
     axis: str = "model",
     eps: float = 1e-12,
-    gate: str = "free_rows",
+    gate: str = "both",
     use_cost_refinement: bool = True,
     normalize_costs: bool = True,
 ):

@@ -86,7 +86,7 @@ class WarmStartPipeline:
         mode: str = "device",
         eps: float = 1e-12,
         use_cost_refinement: bool = True,
-        gate: str = "free_rows",
+        gate: str = "both",
         normalize_costs: bool = True,
         certify_tol: float = 1e-6,
     ):

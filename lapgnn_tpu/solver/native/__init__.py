@@ -118,7 +118,7 @@ def lapjv_native(
     return x, y, cost
 
 
-_GATES = {"density": 0, "free_rows": 1, "never": 2}
+_GATES = {"density": 0, "free_rows": 1, "never": 2, "both": 3}
 
 
 def lapjv_seeded_native(

@@ -308,11 +308,20 @@ int lapx_seeded(int n, const double* C, const double* u_seed,
   for (int i = 0; i < n; ++i)
     if (S.col_of_row[i] < 0) free_rows.push_back(i);
 
+  // The two heuristics fail on complementary families: tight-density
+  // under-rates min-trick seeds whose tight structure is sparse (metric),
+  // free-rows under-rates tie-heavy seeds where greedy maximal matching
+  // flirts with its 1/2 worst case (clustered).  gate 3 falls back only
+  // when BOTH deem the seed bad.
+  const bool density_bad = (double)n_tight < 1.2 * (double)n;
+  const bool free_bad = (double)free_rows.size() > 0.5 * (double)n;
   bool fallback = false;
   if (gate == 0) {
-    fallback = (double)n_tight < 1.2 * (double)n;
+    fallback = density_bad;
   } else if (gate == 1) {
-    fallback = (double)free_rows.size() > 0.5 * (double)n;
+    fallback = free_bad;
+  } else if (gate == 3) {
+    fallback = density_bad && free_bad;
   }  // gate == 2: never
   if (fallback) {
     // Seed too poor: full cold solve.

@@ -310,10 +310,14 @@ def lapjv_seeded_single(
       * "density": tight-edge count < 1.2 n (reference-faithful,
         lapjv_seeded.cpp:116).  Overly conservative for min-trick seeds —
         tightening guarantees ~n tight edges that may form a near-perfect
-        matching while still failing the 1.2 n count.
+        matching while still failing the 1.2 n count (metric family).
       * "free_rows": fall back only if the greedy tight matching leaves more
         than ``free_rows_frac`` of the rows unmatched — a direct measure of
-        the augmentation work remaining (new in this framework).
+        the augmentation work remaining (new in this framework).  Overly
+        conservative on tie-heavy families where greedy maximal matching
+        flirts with its 1/2 worst case (clustered).
+      * "both": fall back only when BOTH heuristics deem the seed bad —
+        dominates either alone across the families.
       * "never": always run the warm path (still exactly optimal).
     """
     n = C.shape[-1]
@@ -333,13 +337,17 @@ def lapjv_seeded_single(
 
     x, y = greedy_tight_matching(tight)
 
+    # Seed-quality gates (density: lapjv_seeded.cpp:104-125).
+    n_tight = jnp.sum(tight.astype(jnp.float32))
+    density_bad = n_tight < jnp.asarray(FALLBACK_DENSITY * n, jnp.float32)
+    n_free = jnp.sum((x < 0).astype(jnp.float32))
+    free_bad = n_free > jnp.asarray(free_rows_frac * n, jnp.float32)
     if gate == "density":
-        # Seed-quality gate (lapjv_seeded.cpp:104-125).
-        n_tight = jnp.sum(tight.astype(jnp.float32))
-        use_fallback = n_tight < jnp.asarray(FALLBACK_DENSITY * n, jnp.float32)
+        use_fallback = density_bad
     elif gate == "free_rows":
-        n_free = jnp.sum((x < 0).astype(jnp.float32))
-        use_fallback = n_free > jnp.asarray(free_rows_frac * n, jnp.float32)
+        use_fallback = free_bad
+    elif gate == "both":
+        use_fallback = density_bad & free_bad
     elif gate == "never":
         use_fallback = jnp.asarray(False)
     else:

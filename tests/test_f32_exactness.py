@@ -97,7 +97,9 @@ def test_certify_and_polish_restores_exactness(rng):
     model = OneGNN(hidden=16, layers=1, dropout=0.0, topk=8)
     c0 = jnp.asarray(C[None], jnp.float32)
     params = model.init(jax.random.key(0), row_features(c0), cost=c0)
-    pipe = WarmStartPipeline(model, params, mode="device")
+    # certify_tol sets the exactness bar: separations here are ~1e-6, so the
+    # certificate must be tighter than that to force the f64 polish.
+    pipe = WarmStartPipeline(model, params, mode="device", certify_tol=1e-10)
     out = pipe.solve(C.astype(np.float32), certify=True)
     assert out["certified"].all()
     got = float(C[np.arange(n), out["col_of_row"][0]].sum())
