@@ -37,6 +37,7 @@ __all__ = [
     "reduced_costs",
     "min_trick_v",
     "fast_min_trick",
+    "robust_normalize",
     "tighten_rows",
     "project_feasible",
     "dual_objective",
@@ -89,6 +90,36 @@ def min_trick_v(
     if mask is not None:
         v = jnp.where(mask, v, jnp.zeros_like(v))
     return v
+
+
+def robust_normalize(
+    C: jnp.ndarray, sentinel: float = 0.5e6, clip: float = 3.0
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-instance affine normalization robust to forbidden-edge sentinels.
+
+    Plain (C - min) / (max - min) is what the model wants on dense instances,
+    but sparse instances carry LARGE (1e6) sentinels on forbidden edges —
+    dividing by the sentinel range squashes every real cost into [0, 1e-6]
+    and blinds the model.  Here the scale comes from the sub-sentinel entries
+    only; sentinel entries land above 1 and are clipped to ``clip`` so they
+    remain recognisably "forbidden" without dominating.
+
+    Returns (C_normalized, mn, a) with the affine map C = a*C' + mn exact on
+    the sub-sentinel entries; duals predicted in normalized space map back as
+    u = a*u' + mn (the solve itself always runs on the ORIGINAL C, so
+    feasibility and exactness are unaffected by the clip).
+    """
+    is_real = C < jnp.asarray(sentinel, C.dtype)
+    big = jnp.asarray(BIG, C.dtype)
+    mn = jnp.min(jnp.where(is_real, C, big), axis=(-2, -1), keepdims=True)
+    mx = jnp.max(jnp.where(is_real, C, -big), axis=(-2, -1), keepdims=True)
+    # Degenerate (all-sentinel) instances fall back to plain min/max.
+    any_real = jnp.any(is_real, axis=(-2, -1), keepdims=True)
+    mn = jnp.where(any_real, mn, jnp.min(C, axis=(-2, -1), keepdims=True))
+    mx = jnp.where(any_real, mx, jnp.max(C, axis=(-2, -1), keepdims=True))
+    a = jnp.maximum(mx - mn, 1e-12)
+    C_n = jnp.minimum((C - mn) / a, jnp.asarray(clip, C.dtype))
+    return C_n, mn[..., 0, 0], a[..., 0, 0]
 
 
 def fast_min_trick(

@@ -105,9 +105,9 @@ def make_sharded_pipeline(
     )
     def run(params, C):
         if normalize_costs:
-            mn = jnp.min(C)
-            a = jnp.maximum(jnp.max(C) - mn, 1e-12)
-            C_in = (C - mn) / a
+            from ..ops.dual import robust_normalize
+
+            C_in, mn, a = robust_normalize(C)
         else:
             C_in = C
         feats = row_features(C_in[None])

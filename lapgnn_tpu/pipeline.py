@@ -46,13 +46,15 @@ def predict_duals_fn(
     the training distribution.
     """
 
+    from .ops.dual import robust_normalize
+
     @jax.jit
     def predict(params, cost):
         if normalize_costs:
-            mn = jnp.min(cost, axis=(-2, -1), keepdims=True)
-            mx = jnp.max(cost, axis=(-2, -1), keepdims=True)
-            a = jnp.maximum(mx - mn, 1e-12)
-            cost_in = (cost - mn) / a
+            # Sentinel-robust: forbidden-edge 1e6 entries must not set the
+            # scale (they would squash real costs to ~1e-6 and blind the
+            # model on sparse instances).
+            cost_in, mn, a = robust_normalize(cost)
         else:
             cost_in = cost
         feats = row_features(cost_in)
@@ -61,7 +63,7 @@ def predict_duals_fn(
         )
         u = preds["u"].astype(cost.dtype)
         if normalize_costs:
-            u = u * a[..., 0, 0][..., None] + mn[..., 0, 0][..., None]
+            u = u * a[..., None] + mn[..., None]
         # Pallas streamed kernel at n >= 4096 on TPU (XLA's lowering loses
         # most of the HBM bandwidth there); XLA elsewhere.
         v = fast_min_trick(cost, u)

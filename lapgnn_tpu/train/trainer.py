@@ -116,12 +116,13 @@ def _normalize_instance(cost, u_target):
     distribution shift (the reference trains on raw costs and serves raw —
     consistent but scale-fragile; here both sides are normalized).  Under
     C' = (C - mn)/a the optimal duals map as u' = (u - mn)/a, v' = v/a.
+    Uses the same sentinel-robust scale as serving (ops/dual.robust_normalize)
+    so sparse instances' forbidden-edge sentinels do not squash the signal.
     """
-    mn = jnp.min(cost, axis=(-2, -1), keepdims=True)
-    mx = jnp.max(cost, axis=(-2, -1), keepdims=True)
-    a = jnp.maximum(mx - mn, 1e-12)
-    cost_n = (cost - mn) / a
-    u_n = (u_target - mn[..., 0, 0][..., None]) / a[..., 0, 0][..., None]
+    from ..ops.dual import robust_normalize
+
+    cost_n, mn, a = robust_normalize(cost)
+    u_n = (u_target - mn[..., None]) / a[..., None]
     return cost_n, u_n
 
 
