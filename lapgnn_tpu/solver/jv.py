@@ -398,6 +398,33 @@ def _sweep_shortest_paths(
 _PATH_CAP = 64
 
 
+def _flip_single_path(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    pred_row: jnp.ndarray,
+    final_j: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flip one augmenting path with an n-bounded walk (no length cap)."""
+    n = pred_row.shape[0]
+
+    def cond(state):
+        j, x, y, done, k = state
+        return (~done) & (k <= n)
+
+    def body(state):
+        j, x, y, done, k = state
+        i = pred_row[j]
+        next_j = x[i]
+        y = y.at[j].set(i)
+        x = x.at[i].set(j)
+        return next_j, x, y, next_j < 0, k + 1
+
+    _, x, y, _, _ = lax.while_loop(
+        cond, body, (final_j, x, y, jnp.asarray(False), jnp.asarray(0, INT))
+    )
+    return x, y
+
+
 def _flip_disjoint_paths(
     x: jnp.ndarray,
     y: jnp.ndarray,
@@ -420,6 +447,11 @@ def _flip_disjoint_paths(
     GROUP per round", the dominant round-count reduction on instances whose
     duals leave many equal-distance free columns (tie-heavy families, good
     GNN seeds).
+
+    Progress guarantee: if EVERY candidate's path exceeds _PATH_CAP (then
+    nothing is flipped, the next round's delta is 0, and the outer
+    augmentation loop would spin forever), the nearest sink's path is
+    flipped with an uncapped n-bounded walk instead.
     """
     n = pred_row.shape[0]
     iota_cap = lax.iota(INT, _PATH_CAP)
@@ -470,12 +502,23 @@ def _flip_disjoint_paths(
         used_row = used_row.at[rows_t].set(True, mode="drop")
         return x, y, cand, used_row, k + 1
 
-    x, y, _, _, _ = lax.while_loop(
+    first_sink = jnp.argmax(cand).astype(INT)
+    had_cand = jnp.any(cand)
+    x2, y2, _, used_row, _ = lax.while_loop(
         outer_cond,
         outer_body,
         (x, y, cand, jnp.zeros((n,), jnp.bool_), jnp.asarray(0, INT)),
     )
-    return x, y
+    flipped_any = jnp.any(used_row)
+
+    def fallback(_):
+        # All candidates exceeded the path cap: uncapped single flip.
+        return _flip_single_path(x, y, pred_row, first_sink)
+
+    def keep(_):
+        return x2, y2
+
+    return lax.cond(had_cand & (~flipped_any), fallback, keep, None)
 
 
 def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
