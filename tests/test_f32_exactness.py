@@ -106,6 +106,30 @@ def test_certify_and_polish_restores_exactness(rng):
     assert got == pytest.approx(_opt(C), abs=1e-9)
 
 
+def test_worst_case_antidiagonal_no_livelock(rng):
+    """Anti-diagonal instances force long augmenting chains; the capped
+    multi-flip must fall back to the uncapped single flip, not spin."""
+    n = 128
+    C = -np.add.outer(np.arange(n), np.arange(n)).astype(np.float64) + 2.0 * n
+    x, _ = _device_solve(C)
+    got = float(C[np.arange(n), x].sum())
+    assert got == pytest.approx(_opt(C), rel=1e-6)
+
+
+def test_path_cap_fallback_exercised(monkeypatch):
+    """With a tiny path cap the fallback path must still solve exactly."""
+    import lapgnn_tpu.solver.jv as jvmod
+    from lapgnn_tpu.solver.jv import lapjv_single
+
+    monkeypatch.setattr(jvmod, "_PATH_CAP", 4)
+    rng = np.random.default_rng(5)
+    C = rng.uniform(0, 1, (48, 48))
+    x, _, cost = jax.jit(lapjv_single)(jnp.asarray(C, jnp.float32))
+    xs = np.asarray(x)
+    assert sorted(xs.tolist()) == list(range(48))
+    assert float(cost) == pytest.approx(_opt(C), abs=1e-4)
+
+
 def test_certificate_rejects_bad_assignment(rng):
     n = 64
     C = rng.uniform(0, 1, (n, n))
