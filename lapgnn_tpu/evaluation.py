@@ -76,7 +76,7 @@ def evaluate_pipeline(
         presolve_gap.append(ub - opt)
 
         x, _, cost_seeded, info = lapjv_seeded_native(
-            C, u_np, v_np, return_info=True
+            C, u_np, v_np, return_info=True, gate="both"
         )
         assists.append(abs(cost_seeded - opt) <= 1e-6 * max(1.0, abs(opt)))
         fallbacks.append(info["used_fallback"])
@@ -88,7 +88,7 @@ def evaluate_pipeline(
                 lapjv_native(C)
                 tc.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                lapjv_seeded_native(C, u_np, v_np)
+                lapjv_seeded_native(C, u_np, v_np, gate="both")
                 ts.append(time.perf_counter() - t0)
             speedups.append(float(np.median(tc) / np.median(ts)))
 
