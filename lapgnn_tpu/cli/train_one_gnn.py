@@ -22,6 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--topk", type=int, default=16)
+    p.add_argument("--context", action="store_true")
     p.add_argument("--use-cost-refinement", action="store_true")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=1e-4)
@@ -54,6 +55,7 @@ def main(argv=None) -> None:
         layers=args.layers,
         dropout=args.dropout,
         topk=args.topk,
+        context=args.context,
         use_cost_refinement=args.use_cost_refinement,
         lr=args.lr,
         weight_decay=args.weight_decay,
@@ -73,6 +75,7 @@ def main(argv=None) -> None:
             "layers": args.layers,
             "dropout": args.dropout,
             "topk": args.topk,
+            "context": args.context,
             "use_cost_refinement": args.use_cost_refinement,
             "row_feat_dim": 21,
             "features": "full",

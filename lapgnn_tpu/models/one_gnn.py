@@ -60,6 +60,14 @@ class OneGNN(nn.Module):
     layers: int = 2
     dropout: float = 0.1
     topk: int = 16
+    # Net-new vs the reference: DeepSets-style global context.  The reference
+    # OneGNN is per-row independent (plus the top-k refinement), which cannot
+    # represent instance-level dual structure — e.g. for rank-1-dominant
+    # costs C ≈ a·bᵀ the map row-stats → u_i depends on the whole-instance
+    # distribution of the factors.  A masked mean+max pool over rows, mixed
+    # back into every row embedding, closes that gap at O(n·hidden) cost
+    # (no O(n²) term; one reduction + one broadcast on the VPU).
+    context: bool = False
 
     @nn.compact
     def __call__(
@@ -75,6 +83,9 @@ class OneGNN(nn.Module):
         h = nn.Dense(self.hidden, name="input_proj")(row_feat)
         h = nn.gelu(h, approximate=False)
         h = nn.LayerNorm(epsilon=1e-5, name="input_norm")(h)
+
+        if self.context:
+            h = self._global_context(h, mask)
 
         for i in range(self.layers):
             h = ResidualBlock(self.hidden, self.dropout, name=f"block_{i}")(
@@ -98,6 +109,29 @@ class OneGNN(nn.Module):
                 mask = mask[None]
             u = jnp.where(mask, u, 0.0)
         return {"u": u}
+
+    def _global_context(
+        self, h: jnp.ndarray, mask: Optional[jnp.ndarray]
+    ) -> jnp.ndarray:
+        """Masked mean+max pool over rows → MLP → broadcast back (residual LN).
+
+        Padded rows contribute nothing to the pooled statistics, so a padded
+        batch produces the same context vector as the unpadded instance.
+        """
+        if mask is not None:
+            m = (mask if mask.ndim == 2 else mask[None])[..., None]  # (B, n, 1)
+            cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+            mean = jnp.sum(jnp.where(m, h, 0.0), axis=-2) / cnt
+            mx = jnp.max(jnp.where(m, h, -jnp.inf), axis=-2)
+            mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        else:
+            mean = jnp.mean(h, axis=-2)
+            mx = jnp.max(h, axis=-2)
+        g = jnp.concatenate([mean, mx], axis=-1)  # (B, 2H)
+        g = nn.Dense(self.hidden, name="ctx_fc1")(g)
+        g = nn.gelu(g, approximate=False)
+        g = nn.Dense(self.hidden, name="ctx_fc2")(g)
+        return nn.LayerNorm(epsilon=1e-5, name="ctx_norm")(h + g[..., None, :])
 
     def _sparse_refine(
         self,

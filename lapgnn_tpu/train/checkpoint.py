@@ -63,6 +63,47 @@ def load_checkpoint(
     return params, meta, opt_state
 
 
+def merge_params(fresh, loaded):
+    """Warm-init merge with ``strict=False`` semantics
+    (reference train_progressive_clean.py:461-473): overlay onto a freshly
+    initialised tree every leaf of ``loaded`` whose path exists in ``fresh``
+    with a matching shape; keep the fresh initialisation for everything else
+    (new submodules, changed heads).  Returns (merged, n_loaded, n_total)."""
+    import numpy as _np
+
+    n_loaded = 0
+    n_total = 0
+
+    def _walk(f, l):
+        nonlocal n_loaded, n_total
+        if isinstance(f, dict):
+            out = {}
+            for k, v in f.items():
+                if isinstance(l, dict) and k in l:
+                    out[k] = _walk(v, l[k])
+                else:
+                    out[k] = _count(v)
+            return out
+        n_total += 1
+        if (
+            hasattr(f, "shape")
+            and hasattr(l, "shape")
+            and tuple(_np.shape(f)) == tuple(_np.shape(l))
+        ):
+            n_loaded += 1
+            return l
+        return f
+
+    def _count(v):
+        nonlocal n_total
+        if isinstance(v, dict):
+            return {k: _count(x) for k, x in v.items()}
+        n_total += 1
+        return v
+
+    return _walk(fresh, loaded), n_loaded, n_total
+
+
 def build_model_from_meta(meta: Dict[str, Any]):
     """Rebuild a model instance from checkpoint metadata (schema sniffing)."""
     arch = meta.get("architecture", "one_gnn")
@@ -74,6 +115,7 @@ def build_model_from_meta(meta: Dict[str, Any]):
             layers=int(meta.get("layers", 2)),
             dropout=float(meta.get("dropout", 0.1)),
             topk=int(meta.get("topk", 16)),
+            context=bool(meta.get("context", False)),
         )
     if arch == "dual_gnn":
         from ..models import DualGNN

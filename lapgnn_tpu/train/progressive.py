@@ -126,6 +126,7 @@ def train_progressive(
         layers=int(mcfg.get("layers", 2)),
         dropout=float(mcfg.get("dropout", 0.1)),
         topk=int(mcfg.get("topk", 16)),
+        context=bool(mcfg.get("context", False)),
     )
     use_cost = bool(mcfg.get("use_cost_refinement", False))
     normalize_gap = bool(config.get("loss", {}).get("normalize_gap", False))
@@ -167,14 +168,18 @@ def train_progressive(
         smallest.instances[0]["cost"][None], jnp.float32
     )
     key = jax.random.key(int(tcfg.get("seed", 0)))
-    if init_params is None:
-        params = model.init(
-            key,
-            row_features(sample_cost),
-            cost=sample_cost if use_cost else None,
+    params = model.init(
+        key,
+        row_features(sample_cost),
+        cost=sample_cost if use_cost else None,
+    )
+    if init_params is not None:
+        from .checkpoint import merge_params
+
+        params, n_loaded, n_total = merge_params(
+            jax.device_get(params), init_params
         )
-    else:
-        params = init_params
+        log_fn(f"warm init: {n_loaded}/{n_total} leaves restored")
     state = State(params, tx.init(params), jnp.asarray(0))
 
     train_step = make_train_step(
@@ -189,6 +194,7 @@ def train_progressive(
         "layers": model.layers,
         "dropout": model.dropout,
         "topk": model.topk,
+        "context": model.context,
         "use_cost_refinement": use_cost,
         "row_feat_dim": 21,
         "config": config,

@@ -35,6 +35,7 @@ class TrainConfig:
     layers: int = 2
     dropout: float = 0.1
     topk: int = 16
+    context: bool = False  # DeepSets global context (net-new, models/one_gnn.py)
     use_cost_refinement: bool = False  # reference trains with cost=None (train_one_gnn.py:248)
     normalize_gap: bool = False  # scale-free primal gap across sizes
     normalize_costs: bool = False  # train in the same normalized space the pipeline serves in
@@ -206,7 +207,7 @@ def train_one_gnn(
     train_one_gnn.py:392-402.
     """
     cfg = config or TrainConfig()
-    model = OneGNN(cfg.hidden, cfg.layers, cfg.dropout, cfg.topk)
+    model = OneGNN(cfg.hidden, cfg.layers, cfg.dropout, cfg.topk, cfg.context)
 
     batcher = BucketBatcher(train_instances, cfg.batch_size, seed=cfg.seed)
     steps_per_epoch = max(1, batcher.num_batches())

@@ -133,3 +133,44 @@ def test_dual_gnn_remat_matches_and_differentiates(rng):
 
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_one_gnn_context_shapes_and_padding_gauge(one_gnn_setup):
+    """DeepSets context (net-new): padded batch == unpadded up to gauge shift.
+
+    The pooled mean/max exclude padded rows, so a context-enabled model run on
+    a zero-padded instance must produce the same duals as the unpadded run up
+    to the mean-centering gauge constant (centering spans all rows including
+    padding, matching the reference's global-center quirk).
+    """
+    _, _, feats, C = one_gnn_setup
+    model = OneGNN(hidden=32, layers=2, dropout=0.1, topk=8, context=True)
+    params = model.init(jax.random.key(7), feats, cost=C)
+    out = model.apply(params, feats, cost=C)
+    assert np.asarray(out["u"]).shape == (2, 24)
+    # context params exist
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("ctx_fc1" in jax.tree_util.keystr(p) for p, _ in flat)
+
+    n, pad = 16, 24
+    rng = np.random.default_rng(3)
+    Cn = FAMILIES["uniform"](n, rng).astype(np.float32)
+    fu = row_features(jnp.asarray(Cn)[None])  # (1, n, 21)
+    fp = jnp.zeros((1, pad, fu.shape[-1]), jnp.float32).at[:, :n].set(fu)
+    mask = jnp.arange(pad)[None, :] < n
+    u_un = np.asarray(model.apply(params, fu)["u"])[0]
+    u_pd = np.asarray(model.apply(params, fp, mask=mask)["u"])[0, :n]
+    d = u_pd - u_un
+    np.testing.assert_allclose(d - d.mean(), 0.0, atol=1e-4)
+
+
+def test_one_gnn_context_changes_output(one_gnn_setup):
+    """context=False params are a strict subtree: merged warm-init differs."""
+    _, _, feats, C = one_gnn_setup
+    base = OneGNN(hidden=32, layers=2, dropout=0.1, topk=8, context=False)
+    ctx = OneGNN(hidden=32, layers=2, dropout=0.1, topk=8, context=True)
+    pb = base.init(jax.random.key(0), feats, cost=C)
+    pc = ctx.init(jax.random.key(0), feats, cost=C)
+    out_b = base.apply(pb, feats, cost=C)
+    out_c = ctx.apply(pc, feats, cost=C)
+    assert not np.allclose(np.asarray(out_b["u"]), np.asarray(out_c["u"]))

@@ -106,3 +106,30 @@ def test_dual_trainer_single_epoch():
     params, history = train_dual_gnn(insts, None, cfg, log_fn=lambda s: None)
     assert len(history["train_loss"]) == 2
     assert all(np.isfinite(l) for l in history["train_loss"])
+
+
+def test_merge_params_warm_init():
+    """strict=False overlay (reference train_progressive_clean.py:461-473):
+    matching-path+shape leaves come from the checkpoint, everything else keeps
+    the fresh init; counts report coverage."""
+    import numpy as np
+
+    from lapgnn_tpu.train.checkpoint import merge_params
+
+    fresh = {
+        "a": {"w": np.zeros((3, 3)), "b": np.zeros((3,))},
+        "new_block": {"w": np.zeros((2, 2))},
+        "head": {"w": np.zeros((4,))},
+    }
+    loaded = {
+        "a": {"w": np.ones((3, 3)), "b": np.ones((3,))},
+        "head": {"w": np.ones((5,))},  # shape mismatch -> keep fresh
+        "stale": {"w": np.ones((9,))},  # not in fresh -> dropped
+    }
+    merged, n_loaded, n_total = merge_params(fresh, loaded)
+    assert n_total == 4 and n_loaded == 2
+    np.testing.assert_array_equal(merged["a"]["w"], 1.0)
+    np.testing.assert_array_equal(merged["a"]["b"], 1.0)
+    np.testing.assert_array_equal(merged["new_block"]["w"], 0.0)
+    np.testing.assert_array_equal(merged["head"]["w"], np.zeros((4,)))
+    assert "stale" not in merged
