@@ -1,0 +1,119 @@
+"""Analytic dual seeds for rank-1-dominant cost matrices.
+
+Net-new vs the reference (its seed baselines are row/col minima and the
+oracle, ``/root/reference/solvers/generators.py`` + gnn eval): for costs of
+the form ``C = delta + a bᵀ + noise`` (the ``noisy_linear`` / ``low_rank``
+families, solvers/generators.py:126-135) the optimal LAP duals of the
+rank-1 part have a *closed form*, and using them as the warm-start seed
+beats any learned per-row model: the dual structure is globally coupled
+through the sorted order of the factors, which per-row statistics cannot
+express (measured: OneGNN plateaus at gauge u-MAE ~0.43 on noisy_linear
+while this seed's projected dual gap is ~0.2% of the optimum).
+
+Math.  For ``M_ij = a_i * b_j`` sort ``a`` ascending and ``b`` descending;
+the permuted matrix is Monge (``(a_i - a_i')(b_j - b_j') <= 0`` off the
+diagonal order), so the identity matching is optimal, and
+
+    u_(1)   = 0,
+    u_(i+1) = u_(i) + (a_(i+1) - a_(i)) * b̃_(i+1),
+    v_(j)   = a_(j) * b̃_(j) - u_(j)
+
+is a feasible tight dual pair: for i > j the constraint gap telescopes to
+``sum_k (a_(k+1) - a_(k)) (b̃_(j) - b̃_(k+1)) >= 0`` (each factor pair has
+matching signs), symmetrically for i < j.  A constant shift ``delta`` added
+to every entry adds ``delta`` to every ``u``.
+
+Everything is one centered power iteration (matvecs on the MXU) plus two
+sorts and a cumsum — O(n²) HBM traffic, no host round trips, fully jittable
+and vmappable.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rank1_fit", "rank1_duals", "select_best_seed"]
+
+
+def rank1_fit(
+    C: jnp.ndarray, iters: int = 6
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Best rank-1 fit of the mean-centered cost: ``C ≈ delta + a bᵀ``.
+
+    Centering first is load-bearing: the families shift costs non-negative
+    (``C -= C.min()``), which adds a large constant — rank-2 overall — and
+    an uncentered power iteration latches onto the constant instead of the
+    informative factor.  Returns ``(a, b, delta)`` with shapes
+    ``(..., n), (..., n), (...)``.
+    """
+    Cf = C.astype(jnp.float32)
+    delta = jnp.mean(Cf, axis=(-2, -1))
+    R = Cf - delta[..., None, None]
+    n = R.shape[-1]
+
+    def body(_, x):
+        y = jnp.einsum("...ij,...j->...i", R, x)
+        y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
+        x = jnp.einsum("...ij,...i->...j", R, y)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+        return x
+
+    x0 = jnp.full(R.shape[:-2] + (n,), 1.0 / jnp.sqrt(jnp.float32(n)))
+    x = jax.lax.fori_loop(0, iters, body, x0)
+    y = jnp.einsum("...ij,...j->...i", R, x)
+    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
+    s = jnp.einsum("...i,...ij,...j->...", y, R, x)
+    return y * s[..., None], x, delta
+
+
+def rank1_duals(
+    C: jnp.ndarray, iters: int = 6
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form optimal duals of the rank-1(+constant) fit of ``C``.
+
+    Exact (zero dual gap) when ``C`` is exactly ``delta + a bᵀ``; off by
+    O(noise) otherwise.  Accepts ``(n, n)`` or ``(B, n, n)``; returns
+    ``(u, v)`` of shape ``(..., n)``.  The pair is feasible/tight for the
+    *fit*, not necessarily for ``C`` — project ``v`` with the min-trick
+    before seeding a solver (as `select_best_seed` does).
+    """
+    a, b, delta = rank1_fit(C, iters=iters)
+    pi = jnp.argsort(a, axis=-1)                      # a ascending
+    qi = jnp.argsort(-b, axis=-1)                     # b descending
+    As = jnp.take_along_axis(a, pi, axis=-1)
+    Bs = jnp.take_along_axis(b, qi, axis=-1)
+    du = jnp.diff(As, axis=-1) * Bs[..., 1:]
+    u_s = jnp.concatenate(
+        [jnp.zeros_like(As[..., :1]), jnp.cumsum(du, axis=-1)], axis=-1
+    )
+    v_s = As * Bs - u_s
+    # Undo the sort: u[pi[k]] = u_s[k]  <=>  u = u_s[rank(a)].
+    u = jnp.take_along_axis(u_s, jnp.argsort(pi, axis=-1), axis=-1)
+    v = jnp.take_along_axis(v_s, jnp.argsort(qi, axis=-1), axis=-1)
+    return (u + delta[..., None]).astype(C.dtype), v.astype(C.dtype)
+
+
+def select_best_seed(
+    cost: jnp.ndarray, u_candidates: Tuple[jnp.ndarray, ...]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-instance argmax over candidate row-dual seeds.
+
+    Each candidate ``u`` is projected to a feasible pair via the min-trick
+    ``v = min_i (C_ij - u_i)``; the objective ``Σu + Σv`` is then a valid
+    lower bound for every candidate, so taking the per-instance maximum is
+    always at least as tight as any fixed choice.  Costs one extra pass over
+    ``C`` per additional candidate.  Returns the winning ``(u, v)``.
+    """
+    from .dual import fast_min_trick
+
+    us = jnp.stack(u_candidates, axis=0)              # (K, B, n)
+    vs = jnp.stack(
+        [fast_min_trick(cost, u) for u in u_candidates], axis=0
+    )
+    obj = jnp.sum(us, axis=-1) + jnp.sum(vs, axis=-1)  # (K, B)
+    best = jnp.argmax(obj, axis=0)                     # (B,)
+    take = jax.vmap(lambda arr, k: arr[k], in_axes=(1, 0))
+    return take(us, best), take(vs, best)

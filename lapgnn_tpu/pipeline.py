@@ -31,6 +31,7 @@ def predict_duals_fn(
     model: OneGNN,
     use_cost_refinement: bool = True,
     normalize_costs: bool = False,
+    seed_mode: str = "auto",
 ):
     """Build a jittable (params, cost_batch) -> (u, v) function.
 
@@ -44,12 +45,28 @@ def predict_duals_fn(
     invariant, so this only changes what the model sees, pinning
     out-of-distribution cost scales (e.g. the noisy_linear family) back to
     the training distribution.
+
+    ``seed_mode``: 'gnn' serves the model prediction alone; 'rank1' serves
+    the closed-form rank-1 analytic duals (ops/rank1.py) alone; 'auto'
+    (default) computes both and keeps, per instance, the one whose projected
+    dual objective is higher — a sound lower-bound comparison, so 'auto' is
+    never worse than either alone.  Rank-1-dominant families (noisy_linear,
+    low_rank) are exactly where per-row models plateau, and the analytic
+    seed costs ~14 extra passes over C (matvecs + one min-trick), all
+    device-resident.
     """
 
     from .ops.dual import robust_normalize
+    from .ops.rank1 import rank1_duals, select_best_seed
+
+    if seed_mode not in ("gnn", "rank1", "auto"):
+        raise ValueError("seed_mode must be 'gnn', 'rank1', or 'auto'")
 
     @jax.jit
     def predict(params, cost):
+        if seed_mode == "rank1":
+            u, _ = rank1_duals(cost)
+            return u, fast_min_trick(cost, u)
         if normalize_costs:
             # Sentinel-robust: forbidden-edge 1e6 entries must not set the
             # scale (they would squash real costs to ~1e-6 and blind the
@@ -64,6 +81,9 @@ def predict_duals_fn(
         u = preds["u"].astype(cost.dtype)
         if normalize_costs:
             u = u * a[..., None] + mn[..., None]
+        if seed_mode == "auto":
+            u_r1, _ = rank1_duals(cost)
+            return select_best_seed(cost, (u, u_r1))
         # Pallas streamed kernel at n >= 4096 on TPU (XLA's lowering loses
         # most of the HBM bandwidth there); XLA elsewhere.
         v = fast_min_trick(cost, u)
@@ -91,6 +111,7 @@ class WarmStartPipeline:
         gate: str = "both",
         normalize_costs: bool = True,
         certify_tol: float = 1e-6,
+        seed_mode: str = "auto",
     ):
         if mode not in ("device", "hybrid"):
             raise ValueError("mode must be 'device' or 'hybrid'")
@@ -108,8 +129,9 @@ class WarmStartPipeline:
         self.mode = mode
         self.eps = eps
         self.gate = gate
+        self.seed_mode = seed_mode
         self._predict = predict_duals_fn(
-            model, use_cost_refinement, normalize_costs
+            model, use_cost_refinement, normalize_costs, seed_mode
         )
         _predict_inner = self._predict
 
@@ -125,10 +147,12 @@ class WarmStartPipeline:
             # cold fallbacks (see lapjv_seeded_single docstring).
             self._solve = functools.partial(lapjv_seeded_batch, eps=eps, gate=gate)
             self._e2e = self._build_e2e(
-                model, use_cost_refinement, eps, gate, normalize_costs
+                model, use_cost_refinement, eps, gate, normalize_costs, seed_mode
             )
 
-    def _build_e2e(self, model, use_cost_refinement, eps, gate, normalize_costs):
+    def _build_e2e(
+        self, model, use_cost_refinement, eps, gate, normalize_costs, seed_mode
+    ):
         """One fused device program: features -> model -> min-trick -> seeded
         solve -> packed result.
 
@@ -143,7 +167,9 @@ class WarmStartPipeline:
         from .solver.seeded import lapjv_seeded_single
 
         single = functools.partial(lapjv_seeded_single, eps=eps, gate=gate)
-        predict = predict_duals_fn(model, use_cost_refinement, normalize_costs)
+        predict = predict_duals_fn(
+            model, use_cost_refinement, normalize_costs, seed_mode
+        )
 
         @jax.jit
         def e2e(params, cost):
