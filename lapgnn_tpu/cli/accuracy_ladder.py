@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", type=Path, nargs="+", required=True)
     p.add_argument("--limit", type=int, default=40)
     p.add_argument("--per-family", action="store_true", default=True)
+    p.add_argument(
+        "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
+        help="dual-seed source for the OneGNN pipeline (ops/rank1.py)",
+    )
     p.add_argument("--output", type=Path, default=None)
     return p
 
@@ -89,6 +93,7 @@ def main(argv=None) -> None:
     models["one_gnn"] = WarmStartPipeline(
         one, params, mode="hybrid",
         use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
+        seed_mode=args.seed_mode,
     )
     if args.dual_gnn:
         dparams, dmeta, _ = load_checkpoint(args.dual_gnn)

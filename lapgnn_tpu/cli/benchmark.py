@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--families", nargs="+", default=["uniform"])
     p.add_argument("--instances", type=int, default=3)
     p.add_argument("--mode", choices=["device", "hybrid"], default="hybrid")
+    p.add_argument(
+        "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
+        help="dual-seed source: GNN, rank-1 analytic, or per-instance best (ops/rank1.py)",
+    )
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--warmups", type=int, default=2)
     p.add_argument("--seed-baseline", choices=["none", "row_col_minima", "oracle"], default="none",
@@ -62,6 +66,7 @@ def main(argv=None) -> None:
             params,
             mode=args.mode,
             use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
+        seed_mode=args.seed_mode,
         )
 
     logger = BenchmarkLogger("gnn_benchmark", root=args.logs)

@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", type=Path, required=True)
     p.add_argument(
+        "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
+        help="dual-seed source: GNN, rank-1 analytic, or per-instance best (ops/rank1.py)",
+    )
+    p.add_argument(
         "--families", nargs="+",
         default=["uniform", "sparse", "metric", "tie", "clustered", "noisy_linear"],
     )
@@ -50,6 +54,7 @@ def main(argv=None) -> None:
     pipe = WarmStartPipeline(
         model, params, mode="hybrid",
         use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
+        seed_mode=args.seed_mode,
     )
 
     logger = BenchmarkLogger("by_type", root=args.logs)

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sizes", type=int, nargs="+", default=[512, 1024, 2048])
     p.add_argument("--instances", type=int, default=3)
     p.add_argument("--mode", choices=["device", "hybrid"], default="device")
+    p.add_argument(
+        "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
+        help="dual-seed source: GNN, rank-1 analytic, or per-instance best (ops/rank1.py)",
+    )
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--out", type=Path, default=Path("logs/comprehensive"))
     p.add_argument("--no-plots", action="store_true")
@@ -95,6 +99,7 @@ def main(argv=None) -> None:
     pipe = WarmStartPipeline(
         model, params, mode=args.mode,
         use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
+        seed_mode=args.seed_mode,
     )
 
     rng = np.random.default_rng(0)

@@ -18,6 +18,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", type=Path, required=True)
     p.add_argument("--limit", type=int, default=50)
     p.add_argument("--mode", choices=["device", "hybrid"], default="hybrid")
+    p.add_argument(
+        "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
+        help="dual-seed source: GNN, rank-1 analytic, or per-instance best (ops/rank1.py)",
+    )
     p.add_argument("--no-timing", action="store_true")
     return p
 
@@ -36,6 +40,7 @@ def main(argv=None) -> None:
         params,
         mode=args.mode,
         use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
+        seed_mode=args.seed_mode,
     )
     with H5Reader(args.split) as r:
         instances = [r[i] for i in range(min(len(r), args.limit))]

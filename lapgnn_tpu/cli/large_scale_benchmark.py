@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sizes", type=int, nargs="+", default=[4096, 8192, 16384])
     p.add_argument("--instances", type=int, default=2)
     p.add_argument("--mode", choices=["device", "hybrid"], default="hybrid")
+    p.add_argument(
+        "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
+        help="dual-seed source: GNN, rank-1 analytic, or per-instance best (ops/rank1.py)",
+    )
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--no-baselines", action="store_true")
     p.add_argument("--logs", type=Path, default=Path("logs"))
@@ -54,6 +58,7 @@ def main(argv=None) -> None:
         pipe = WarmStartPipeline(
             model, params, mode=args.mode,
             use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
+        seed_mode=args.seed_mode,
         )
 
     results = []

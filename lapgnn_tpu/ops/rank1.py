@@ -97,7 +97,7 @@ def rank1_duals(
 
 
 def select_best_seed(
-    cost: jnp.ndarray, u_candidates: Tuple[jnp.ndarray, ...]
+    cost: jnp.ndarray, u_candidates: Tuple[jnp.ndarray, ...], min_trick=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-instance argmax over candidate row-dual seeds.
 
@@ -106,13 +106,17 @@ def select_best_seed(
     lower bound for every candidate, so taking the per-instance maximum is
     always at least as tight as any fixed choice.  Costs one extra pass over
     ``C`` per additional candidate.  Returns the winning ``(u, v)``.
+
+    ``min_trick`` overrides the projection (default: ops.dual.fast_min_trick,
+    which routes through the Pallas streamed kernel at large n — pass the
+    plain XLA ``min_trick_v`` from GSPMD-sharded programs, where a manually
+    tiled kernel on a logically-global array would force replication).
     """
-    from .dual import fast_min_trick
+    if min_trick is None:
+        from .dual import fast_min_trick as min_trick
 
     us = jnp.stack(u_candidates, axis=0)              # (K, B, n)
-    vs = jnp.stack(
-        [fast_min_trick(cost, u) for u in u_candidates], axis=0
-    )
+    vs = jnp.stack([min_trick(cost, u) for u in u_candidates], axis=0)
     obj = jnp.sum(us, axis=-1) + jnp.sum(vs, axis=-1)  # (K, B)
     best = jnp.argmax(obj, axis=0)                     # (B,)
     take = jax.vmap(lambda arr, k: arr[k], in_axes=(1, 0))

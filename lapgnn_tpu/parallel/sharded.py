@@ -42,9 +42,20 @@ __all__ = [
 ]
 
 
-def make_sharded_predict(model, mesh: Mesh, use_cost_refinement: bool = True):
+def make_sharded_predict(
+    model, mesh: Mesh, use_cost_refinement: bool = True, seed_mode: str = "auto"
+):
     """GSPMD pipeline: (params, cost) -> (u, v) with batch over 'data' and
-    rows over 'model'."""
+    rows over 'model'.
+
+    ``seed_mode='auto'`` matches the single-device serving default
+    (pipeline.predict_duals_fn): the rank-1 analytic candidate
+    (ops/rank1.py) is computed alongside the GNN seed and the per-instance
+    winner by projected dual objective is kept.  The rank-1 matvecs are
+    row-sharded matmuls (XLA inserts the psum over 'model'); the argsort
+    over the factor vectors gathers one (n,)-vector per instance — O(n)
+    collective traffic, negligible next to the O(n²/devices) feature pass.
+    """
     cost_sharding = NamedSharding(mesh, P("data", "model", None))
     vec_sharding = NamedSharding(mesh, P("data", "model"))
 
@@ -57,6 +68,11 @@ def make_sharded_predict(model, mesh: Mesh, use_cost_refinement: bool = True):
         feats = row_features(cost)
         preds = model.apply(params, feats, cost=cost if use_cost_refinement else None)
         u = preds["u"].astype(cost.dtype)
+        if seed_mode == "auto":
+            from ..ops.rank1 import rank1_duals, select_best_seed
+
+            u_r1, _ = rank1_duals(cost)
+            return select_best_seed(cost, (u, u_r1), min_trick=min_trick_v)
         v = min_trick_v(cost, u)
         return u, v
 
