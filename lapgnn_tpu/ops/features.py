@@ -32,6 +32,7 @@ __all__ = [
     "EDGE_FEATURE_DIM",
     "positional_encodings",
     "row_features",
+    "fast_row_features",
     "graph_features",
     "GraphFeatures",
 ]
@@ -225,6 +226,41 @@ def row_features(C: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
+    return feat[0] if squeeze else feat
+
+
+def fast_row_features(C: jnp.ndarray) -> jnp.ndarray:
+    """``row_features`` routed through the fused sort-free Pallas kernel
+    (ops/pallas/features.py: bitwise radix bisection instead of the full row
+    sort) when ``LAPGNN_PALLAS_FEATURES=1`` on a TPU backend with f32 input
+    and n >= 1024.  Identical semantics (parity pinned to ~1e-6 rel across
+    all families in tests/test_pallas.py); default-off until the on-device
+    measurement shows the win, mirroring the min-trick routing policy
+    (ops/dual.py:125).
+    """
+    import os
+
+    n = C.shape[-1]
+    if (
+        os.environ.get("LAPGNN_PALLAS_FEATURES") != "1"
+        or C.dtype != jnp.float32
+        or C.shape[-2] != n
+        or n < 1024
+        or jax.default_backend() != "tpu"
+    ):
+        return row_features(C)
+    from .pallas.features import pallas_row_features_stats
+
+    squeeze = C.ndim == 2
+    Cb = C[None] if squeeze else C
+    batch_shape = Cb.shape[:-2]
+    flat = Cb.reshape((-1,) + Cb.shape[-2:])
+    stats = jax.vmap(pallas_row_features_stats)(flat)
+    stats = stats.reshape(batch_shape + stats.shape[-2:])
+    pos = jnp.broadcast_to(
+        positional_encodings(n), batch_shape + (n, 2 * len(POS_FREQS))
+    )
+    feat = jnp.concatenate([stats, pos], axis=-1)
     return feat[0] if squeeze else feat
 
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from .models import OneGNN
 from .ops.dual import fast_min_trick
-from .ops.features import row_features
+from .ops.features import fast_row_features as row_features
 from .solver.seeded import lapjv_seeded_batch
 
 __all__ = ["WarmStartPipeline", "predict_duals_fn"]
