@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--warmups", type=int, default=2)
-    p.add_argument("--seed-baseline", choices=["none", "row_col_minima", "oracle"], default="none",
+    p.add_argument("--seed-baseline", choices=["none", "row_col_minima", "rank1_analytic", "oracle"], default="none",
                    help="non-learned seed source when no checkpoint is given")
     p.add_argument("--logs", type=Path, default=Path("logs"))
     p.add_argument("--quick", action="store_true", help="1 instance, 2 repeats")
@@ -51,7 +51,7 @@ def main(argv=None) -> None:
     from ..bench.logging_system import BenchmarkLogger
     from ..data.generators import FAMILIES
     from ..solver.native import lapjv_native, lapjv_seeded_native
-    from ..solver.seed_baselines import seed_row_col_minima
+    from ..solver.seed_baselines import seed_rank1_analytic, seed_row_col_minima
     from ..ops.host_dual import oracle_duals_np
 
     pipe = None
@@ -98,6 +98,8 @@ def main(argv=None) -> None:
                         u, v = oracle_duals_np(C)
                     elif args.seed_baseline == "row_col_minima":
                         u, v = seed_row_col_minima(C)
+                    elif args.seed_baseline == "rank1_analytic":
+                        u, v = seed_rank1_analytic(C)
                     else:
                         u, v = np.zeros(n), np.zeros(n)
                     fn = lambda: lapjv_seeded_native(C, u, v)

@@ -17,7 +17,12 @@ from ..ops.host_dual import (
     project_feasible_np,
 )
 
-__all__ = ["seed_row_col_minima", "seed_greedy_matching", "seed_noisy_optimal"]
+__all__ = [
+    "seed_row_col_minima",
+    "seed_greedy_matching",
+    "seed_noisy_optimal",
+    "seed_rank1_analytic",
+]
 
 
 def seed_row_col_minima(
@@ -74,3 +79,39 @@ def seed_noisy_optimal(
     u = u_opt + rng.normal(0.0, noise_std, size=u_opt.shape)
     v = v_opt + rng.normal(0.0, noise_std, size=v_opt.shape)
     return project_feasible_np(np.asarray(C, np.float64), u, v, max_rounds=project_rounds)
+
+
+def seed_rank1_analytic(
+    C: np.ndarray, iters: int = 6, project_rounds: int = 50
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed-form Monge duals of the rank-1(+constant) fit (net-new vs the
+    reference's baselines; NumPy host twin of ops/rank1.py for the
+    solver-only benchmark path).
+
+    Near-oracle on the rank-1-dominant families (noisy_linear, low_rank)
+    where row/col-minima seeds are weakest; see ops/rank1.py for the math.
+    """
+    C = np.asarray(C, dtype=np.float64)
+    n = C.shape[0]
+    delta = C.mean()
+    R = C - delta
+    x = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(iters):
+        y = R @ x
+        y /= max(np.linalg.norm(y), 1e-30)
+        x = R.T @ y
+        x /= max(np.linalg.norm(x), 1e-30)
+    y = R @ x
+    y /= max(np.linalg.norm(y), 1e-30)
+    a = y * float(y @ R @ x)
+    b = x
+    pi = np.argsort(a)
+    qi = np.argsort(-b)
+    As, Bs = a[pi], b[qi]
+    u_s = np.concatenate([[0.0], np.cumsum(np.diff(As) * Bs[1:])])
+    v_s = As * Bs - u_s
+    u = np.empty(n)
+    v = np.empty(n)
+    u[pi] = u_s + delta
+    v[qi] = v_s
+    return project_feasible_np(C, u, v, max_rounds=project_rounds)

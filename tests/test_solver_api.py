@@ -79,6 +79,7 @@ def test_seed_baselines_feasible_and_speed_solver():
     from lapgnn_tpu.solver.seed_baselines import (
         seed_greedy_matching,
         seed_noisy_optimal,
+        seed_rank1_analytic,
         seed_row_col_minima,
     )
 
@@ -88,6 +89,7 @@ def test_seed_baselines_feasible_and_speed_solver():
         lambda: seed_row_col_minima(C),
         lambda: seed_greedy_matching(C, rng=rng),
         lambda: seed_noisy_optimal(C, rng=rng),
+        lambda: seed_rank1_analytic(C),
     ):
         u, v = fn()
         check_dual_feasible_np(C, u, v, tol=1e-8)
