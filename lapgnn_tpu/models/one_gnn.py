@@ -27,6 +27,23 @@ from ..ops.dual import center_gauge
 __all__ = ["OneGNN", "ResidualBlock"]
 
 
+def _topk_smallest_iter(reduced: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k smallest values per row, ascending, duplicates preserved — exactly
+    ``-lax.top_k(-reduced, k)[0]`` (incl. lowest-index tie order), but built
+    from argmin/one-hot/where, which the GSPMD partitioner keeps row-local
+    on a row-sharded operand (lax.top_k forces a full-matrix all-gather;
+    verified on the compiled HLO in tests/test_sharded_solver.py)."""
+
+    def body(r, _):
+        j = jnp.argmin(r, axis=-1)
+        v = jnp.take_along_axis(r, j[..., None], axis=-1)[..., 0]
+        oh = jax.nn.one_hot(j, r.shape[-1], dtype=bool)
+        return jnp.where(oh, jnp.inf, r), v
+
+    _, vs = lax.scan(body, reduced, None, length=k)
+    return jnp.moveaxis(vs, 0, -1)
+
+
 class ResidualBlock(nn.Module):
     """Post-LN residual MLP block (one_gnn.py:18-36)."""
 
@@ -68,6 +85,12 @@ class OneGNN(nn.Module):
     # back into every row embedding, closes that gap at O(n·hidden) cost
     # (no O(n²) term; one reduction + one broadcast on the VPU).
     context: bool = False
+    # "top_k": lax.top_k (fastest single-device).  "iter": k rounds of
+    # masked argmin — value-identical incl. tie order, but built from ops
+    # the GSPMD partitioner keeps row-local (lax.top_k on a row-sharded
+    # operand all-gathers the full matrix); the sharded builders in
+    # parallel/ clone the model with this.  Parameters are unaffected.
+    topk_impl: str = "top_k"
 
     @nn.compact
     def __call__(
@@ -156,8 +179,12 @@ class OneGNN(nn.Module):
             mask_rows = mask if mask.ndim == 2 else mask[None]
             reduced = jnp.where(mask_rows[..., :, None], reduced, jnp.inf)
 
-        neg_vals, _ = lax.top_k(-reduced, k)  # (B, n, k): negated k-smallest
-        values = -neg_vals
+        if self.topk_impl == "iter":
+            values = _topk_smallest_iter(reduced, k)  # (B, n, k) ascending
+            neg_vals = -values
+        else:
+            neg_vals, _ = lax.top_k(-reduced, k)  # (B, n, k): negated k-smallest
+            values = -neg_vals
         valid = jnp.isfinite(values)
         scores = jnp.where(valid, neg_vals, -jnp.inf)
         weights = jax.nn.softmax(scores, axis=-1)

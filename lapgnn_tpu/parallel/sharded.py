@@ -56,6 +56,9 @@ def make_sharded_predict(
     over the factor vectors gathers one (n,)-vector per instance — O(n)
     collective traffic, negligible next to the O(n²/devices) feature pass.
     """
+    if getattr(model, "topk_impl", None) == "top_k":
+        # see parallel/solver.py: lax.top_k replicates row-sharded operands.
+        model = model.clone(topk_impl="iter")
     cost_sharding = NamedSharding(mesh, P("data", "model", None))
     vec_sharding = NamedSharding(mesh, P("data", "model"))
 

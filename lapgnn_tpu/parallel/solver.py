@@ -85,6 +85,7 @@ def make_sharded_pipeline(
     gate: str = "both",
     use_cost_refinement: bool = True,
     normalize_costs: bool = True,
+    seed_mode: str = "auto",
 ):
     """Full pipeline partitioned over the mesh for ONE large instance:
 
@@ -95,6 +96,10 @@ def make_sharded_pipeline(
 
     Returns jitted (params, C) -> SeededResult.  Model params replicated.
     """
+    if getattr(model, "topk_impl", None) == "top_k":
+        # lax.top_k all-gathers the row-sharded matrix under GSPMD; the
+        # iterative variant is value-identical and stays row-local.
+        model = model.clone(topk_impl="iter")
     cost_s = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
 
@@ -118,6 +123,17 @@ def make_sharded_pipeline(
         if normalize_costs:
             u = u * a + mn
         v = min_trick_v(C, u)
+        if seed_mode == "auto":
+            # Rank-1 analytic candidate (ops/rank1.py): the matvecs are
+            # row-local + an O(n) psum, the factor sorts/cumsum are O(n)
+            # replicated vectors — the no-matrix-allgather contract holds.
+            from ..ops.rank1 import rank1_duals
+
+            u_r1, _ = rank1_duals(C)
+            v_r1 = min_trick_v(C, u_r1)
+            pick = (jnp.sum(u_r1) + jnp.sum(v_r1)) > (jnp.sum(u) + jnp.sum(v))
+            u = jnp.where(pick, u_r1, u)
+            v = jnp.where(pick, v_r1, v)
         return lapjv_seeded_single(C, u, v, eps=eps, gate=gate)
 
     return run

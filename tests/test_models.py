@@ -174,3 +174,19 @@ def test_one_gnn_context_changes_output(one_gnn_setup):
     out_b = base.apply(pb, feats, cost=C)
     out_c = ctx.apply(pc, feats, cost=C)
     assert not np.allclose(np.asarray(out_b["u"]), np.asarray(out_c["u"]))
+
+
+def test_one_gnn_topk_impl_parity(one_gnn_setup):
+    """topk_impl='iter' (the GSPMD-shardable variant) is value-identical to
+    lax.top_k through the whole model, including tie-heavy costs."""
+    _, _, feats, C = one_gnn_setup
+    # tie-heavy: duplicate two columns
+    Ct = np.asarray(C).copy()
+    Ct[..., 3] = Ct[..., 4]
+    Ct = jnp.asarray(Ct)
+    a = OneGNN(hidden=32, layers=2, dropout=0.1, topk=8, topk_impl="top_k")
+    b = OneGNN(hidden=32, layers=2, dropout=0.1, topk=8, topk_impl="iter")
+    params = a.init(jax.random.key(1), feats, cost=Ct)
+    ua = a.apply(params, feats, cost=Ct)["u"]
+    ub = b.apply(params, feats, cost=Ct)["u"]
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))

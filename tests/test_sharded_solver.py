@@ -105,3 +105,43 @@ def test_sharded_pipeline_end_to_end():
     got = float(C.astype(np.float64)[np.arange(n), x].sum())
     # Untrained model -> poor seed, but the solve must still be exactly optimal.
     assert got == pytest.approx(opt, rel=1e-5)
+
+
+@requires_8
+def test_sharded_pipeline_rank1_auto_no_matrix_allgather():
+    """The rank-1 candidate's collectives are O(n) (matvec psum + replicated
+    factor sorts): the full pipeline with seed_mode='auto' must still move
+    no O(n^2) operand, and a noisy_linear instance must solve exactly with
+    the analytic seed winning the selection."""
+    from lapgnn_tpu.data.generators import FAMILIES
+    from lapgnn_tpu.models import OneGNN
+    from lapgnn_tpu.ops.features import row_features
+
+    n = 256
+    rng = np.random.default_rng(3)
+    C = FAMILIES["noisy_linear"](n, rng).astype(np.float32)
+    model = OneGNN(hidden=16, layers=1, dropout=0.0, topk=8)
+    cost0 = jnp.asarray(C[None])
+    params = model.init(jax.random.key(0), row_features(cost0), cost=cost0)
+
+    mesh = make_mesh(data=1, model=8)
+    run = make_sharded_pipeline(model, mesh)
+    compiled = run.lower(
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+        ),
+        jax.ShapeDtypeStruct((n, n), jnp.float32),
+    ).compile()
+    assert_no_matrix_allgather(compiled, n, 8)
+
+    res = run(params, jnp.asarray(C))
+    x = np.asarray(res.col_of_row)
+    assert sorted(x.tolist()) == list(range(n))
+    import scipy.optimize
+
+    r, c = scipy.optimize.linear_sum_assignment(C.astype(np.float64))
+    opt = float(C.astype(np.float64)[r, c].sum())
+    got = float(C.astype(np.float64)[np.arange(n), x].sum())
+    assert got == pytest.approx(opt, rel=1e-5)
+    # Analytic seed quality: the solve must NOT have cold-fallen back.
+    assert not bool(res.used_fallback)
