@@ -125,6 +125,9 @@ def make_dp_train_step(model, tx, mesh: Mesh, use_cost: bool, shard_rows: bool =
     """
     from ..train.trainer import State
 
+    if shard_rows and use_cost and getattr(model, "topk_impl", None) == "top_k":
+        # row-sharded refinement: same lax.top_k replication as in predict.
+        model = model.clone(topk_impl="iter")
     spec_cost = P("data", "model", None) if shard_rows else P("data", None, None)
     spec_vec = P("data", "model") if shard_rows else P("data", None)
 
