@@ -42,6 +42,7 @@ def evaluate_pipeline(
     speedups = []
     assists = []
     fallbacks = []
+    rank1_wins = []
 
     for inst in instances:
         C = np.asarray(inst["cost"], np.float64)
@@ -67,6 +68,15 @@ def evaluate_pipeline(
         # (u+c, v-c); remove the mean offset before comparing shapes.
         du = u_np - u_star
         u_mae_gauge.append(float(np.mean(np.abs(du - du.mean()))))
+
+        if getattr(pipe, "seed_mode", "gnn") == "auto":
+            # Which candidate won the selection? The served u equals the
+            # rank-1 analytic duals exactly when they won (select_best_seed
+            # copies the winner verbatim).
+            from .ops.rank1 import rank1_duals
+
+            u_r1 = np.asarray(rank1_duals(Cd)[0][0], np.float64)
+            rank1_wins.append(bool(np.allclose(u_np, u_r1, atol=1e-6)))
 
         red = C - u_np[:, None] - v_np[None, :]
         ub = float(
@@ -105,6 +115,8 @@ def evaluate_pipeline(
         "presolve_gap_mean": float(np.mean(presolve_gap)),
         "presolve_gap_median": float(np.median(presolve_gap)),
     }
+    if rank1_wins:
+        out["rank1_seed_win_rate"] = float(np.mean(rank1_wins))
     if speedups:
         out["seeded_vs_cold_speedup_mean"] = float(np.mean(speedups))
         out["seeded_vs_cold_speedup_median"] = float(np.median(speedups))
