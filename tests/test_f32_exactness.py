@@ -137,3 +137,30 @@ def test_certificate_rejects_bad_assignment(rng):
     v = np.min(C, axis=0)
     certified, violation, bound = certify_assignment(C, x, v, tol=1e-6)
     assert not certified and violation > 1e-3
+
+
+@pytest.mark.parametrize("noise", [0.0, 1e-4])
+def test_rank1_monge_tie_structure_exact(noise, rng):
+    """Exact (or near-exact) rank-1 costs seeded with the analytic Monge
+    duals (ops/rank1.py): under these duals EVERY entry along the sorted
+    order is tight or near-tight — the densest tie graph the multi-path
+    augmentation can face.  The f32 device solve must stay exact and must
+    not fall back (the analytic seed is near-oracle here)."""
+    from lapgnn_tpu.ops.rank1 import rank1_duals
+
+    n = 384
+    a = rng.normal(size=n)
+    b = rng.normal(size=n)
+    C64 = np.outer(a, b) + (rng.normal(size=(n, n)) * noise if noise else 0.0)
+    C64 -= C64.min()
+
+    C32 = jnp.asarray(C64, jnp.float32)
+    u0, _ = rank1_duals(C32)
+    v0 = jnp.min(C32 - u0[:, None], axis=0)
+    res = SOLVE(C32, u0, v0)
+    x = np.asarray(res.col_of_row)
+    assert sorted(x.tolist()) == list(range(n)), "not a permutation"
+    got = float(C64[np.arange(n), x].sum())
+    opt = _opt(C64)
+    assert got == pytest.approx(opt, abs=max(1e-6, 1e-5 * abs(opt)))
+    assert not bool(res.used_fallback)
