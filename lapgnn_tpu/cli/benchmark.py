@@ -66,7 +66,7 @@ def main(argv=None) -> None:
             params,
             mode=args.mode,
             use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
-        seed_mode=args.seed_mode,
+            seed_mode=args.seed_mode,
         )
 
     logger = BenchmarkLogger("gnn_benchmark", root=args.logs)

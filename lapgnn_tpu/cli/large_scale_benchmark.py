@@ -58,7 +58,7 @@ def main(argv=None) -> None:
         pipe = WarmStartPipeline(
             model, params, mode=args.mode,
             use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
-        seed_mode=args.seed_mode,
+            seed_mode=args.seed_mode,
         )
 
     results = []

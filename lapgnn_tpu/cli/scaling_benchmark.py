@@ -159,12 +159,17 @@ def main(argv=None) -> None:
         t_feat = _kernel_time(
             lambda C: row_features_fn(C[None]), max(2, inner // 8), args.repeats, C1
         )
-        from ..ops.pallas.features import pallas_row_features_stats
+        t_feat_pls = None
+        if not interpret:
+            # interpret-mode would grind through 3x32 unrolled counting
+            # passes on the CPU — only time the fused kernel where the
+            # routing decision applies (real TPU).
+            from ..ops.pallas.features import pallas_row_features_stats
 
-        t_feat_pls = _kernel_time(
-            lambda C: pallas_row_features_stats(C, interpret=interpret),
-            max(2, inner // 8), args.repeats, C1,
-        )
+            t_feat_pls = _kernel_time(
+                lambda C: pallas_row_features_stats(C),
+                max(2, inner // 8), args.repeats, C1,
+            )
 
         entry = {
             "min_trick_xla_gb_s": round(bytes_read / t_xla / 1e9, 2),
@@ -177,11 +182,14 @@ def main(argv=None) -> None:
             ),
             "row_features_gb_s": round(bytes_read / t_feat / 1e9, 2),
             "row_features_edges_per_s": round(nr * nr / t_feat),
+        }
+        if t_feat_pls is not None:
             # sort-free fused kernel (ops/pallas/features.py): flip the
             # LAPGNN_PALLAS_FEATURES routing default if this wins on TPU.
-            "row_features_pallas_gb_s": round(bytes_read / t_feat_pls / 1e9, 2),
-            "row_features_pallas_edges_per_s": round(nr * nr / t_feat_pls),
-        }
+            entry["row_features_pallas_gb_s"] = round(
+                bytes_read / t_feat_pls / 1e9, 2
+            )
+            entry["row_features_pallas_edges_per_s"] = round(nr * nr / t_feat_pls)
         if args.solve:
             from ..solver.seeded import lapjv_seeded_single
 

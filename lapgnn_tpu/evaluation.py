@@ -76,7 +76,11 @@ def evaluate_pipeline(
             from .ops.rank1 import rank1_duals
 
             u_r1 = np.asarray(rank1_duals(Cd)[0][0], np.float64)
-            rank1_wins.append(bool(np.allclose(u_np, u_r1, atol=1e-6)))
+            # Scale-aware: the jitted pipeline and this eager recomputation
+            # can differ by f32 fusion/reduction order, and rank-1 duals
+            # scale like O(n) on noisy_linear.
+            tol = 1e-4 * (1.0 + float(np.abs(u_r1).max()))
+            rank1_wins.append(bool(np.allclose(u_np, u_r1, atol=tol)))
 
         red = C - u_np[:, None] - v_np[None, :]
         ub = float(

@@ -229,7 +229,7 @@ def row_features(C: jnp.ndarray) -> jnp.ndarray:
     return feat[0] if squeeze else feat
 
 
-def fast_row_features(C: jnp.ndarray) -> jnp.ndarray:
+def fast_row_features(C: jnp.ndarray, _force_pallas: bool = False) -> jnp.ndarray:
     """``row_features`` routed through the fused sort-free Pallas kernel
     (ops/pallas/features.py: bitwise radix bisection instead of the full row
     sort) when ``LAPGNN_PALLAS_FEATURES=1`` on a TPU backend with f32 input
@@ -237,11 +237,18 @@ def fast_row_features(C: jnp.ndarray) -> jnp.ndarray:
     all families in tests/test_pallas.py); default-off until the on-device
     measurement shows the win, mirroring the min-trick routing policy
     (ops/dual.py:125).
+
+    The env var is read at TRACE time: set it before the process (or at
+    least before the pipeline's first predict) — flipping it after a jitted
+    caller has traced has no effect on the cached executable.
+
+    ``_force_pallas`` (tests only) takes the kernel branch in interpret mode
+    off-TPU so the batching/concat glue is exercised by the CPU suite.
     """
     import os
 
     n = C.shape[-1]
-    if (
+    if not _force_pallas and (
         os.environ.get("LAPGNN_PALLAS_FEATURES") != "1"
         or C.dtype != jnp.float32
         or C.shape[-2] != n
@@ -251,11 +258,12 @@ def fast_row_features(C: jnp.ndarray) -> jnp.ndarray:
         return row_features(C)
     from .pallas.features import pallas_row_features_stats
 
+    interp = jax.default_backend() != "tpu"
     squeeze = C.ndim == 2
     Cb = C[None] if squeeze else C
     batch_shape = Cb.shape[:-2]
     flat = Cb.reshape((-1,) + Cb.shape[-2:])
-    stats = jax.vmap(pallas_row_features_stats)(flat)
+    stats = jax.vmap(lambda x: pallas_row_features_stats(x, interpret=interp))(flat)
     stats = stats.reshape(batch_shape + stats.shape[-2:])
     pos = jnp.broadcast_to(
         positional_encodings(n), batch_shape + (n, 2 * len(POS_FREQS))

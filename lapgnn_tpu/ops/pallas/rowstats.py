@@ -15,6 +15,12 @@ reference adds EPS inside the log; the difference is O(EPS) and covered by
 test tolerances).
 
 Grid: 1-D over row tiles, n columns resident per tile.
+
+NOTE: superseded for production by ops/pallas/features.py, which computes
+these six channels AND the sort-dependent ones (exact selection via radix
+bisection) in the same single read of C, with two-pass std and literal-EPS
+entropy.  This kernel remains as the minimal streaming-stats exemplar and
+for its interpret-mode tests; new routing work should target features.py.
 """
 
 from __future__ import annotations

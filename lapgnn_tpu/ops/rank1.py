@@ -115,6 +115,12 @@ def select_best_seed(
     if min_trick is None:
         from .dual import fast_min_trick as min_trick
 
+    if cost.ndim == 2:  # unbatched (n, n) instance
+        u, v = select_best_seed(
+            cost[None], tuple(u[None] for u in u_candidates), min_trick
+        )
+        return u[0], v[0]
+
     us = jnp.stack(u_candidates, axis=0)              # (K, B, n)
     vs = jnp.stack([min_trick(cost, u) for u in u_candidates], axis=0)
     obj = jnp.sum(us, axis=-1) + jnp.sum(vs, axis=-1)  # (K, B)

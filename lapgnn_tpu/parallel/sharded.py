@@ -56,6 +56,8 @@ def make_sharded_predict(
     over the factor vectors gathers one (n,)-vector per instance — O(n)
     collective traffic, negligible next to the O(n²/devices) feature pass.
     """
+    if seed_mode not in ("gnn", "rank1", "auto"):
+        raise ValueError("seed_mode must be 'gnn', 'rank1', or 'auto'")
     if getattr(model, "topk_impl", None) == "top_k":
         # see parallel/solver.py: lax.top_k replicates row-sharded operands.
         model = model.clone(topk_impl="iter")
@@ -68,12 +70,15 @@ def make_sharded_predict(
         out_shardings=(vec_sharding, NamedSharding(mesh, P("data", None))),
     )
     def predict(params, cost):
+        from ..ops.rank1 import rank1_duals, select_best_seed
+
+        if seed_mode == "rank1":
+            u, _ = rank1_duals(cost)
+            return u, min_trick_v(cost, u)
         feats = row_features(cost)
         preds = model.apply(params, feats, cost=cost if use_cost_refinement else None)
         u = preds["u"].astype(cost.dtype)
         if seed_mode == "auto":
-            from ..ops.rank1 import rank1_duals, select_best_seed
-
             u_r1, _ = rank1_duals(cost)
             return select_best_seed(cost, (u, u_r1), min_trick=min_trick_v)
         v = min_trick_v(cost, u)

@@ -96,6 +96,8 @@ def make_sharded_pipeline(
 
     Returns jitted (params, C) -> SeededResult.  Model params replicated.
     """
+    if seed_mode not in ("gnn", "rank1", "auto"):
+        raise ValueError("seed_mode must be 'gnn', 'rank1', or 'auto'")
     if getattr(model, "topk_impl", None) == "top_k":
         # lax.top_k all-gathers the row-sharded matrix under GSPMD; the
         # iterative variant is value-identical and stays row-local.
@@ -109,6 +111,16 @@ def make_sharded_pipeline(
         out_shardings=SeededResult(rep, rep, rep, rep, rep),
     )
     def run(params, C):
+        # Rank-1 analytic candidate (ops/rank1.py): the matvecs are
+        # row-local + an O(n) psum, the factor sorts/cumsum are O(n)
+        # replicated vectors — the no-matrix-allgather contract holds.
+        from ..ops.rank1 import rank1_duals, select_best_seed
+
+        if seed_mode == "rank1":
+            u, _ = rank1_duals(C)
+            return lapjv_seeded_single(
+                C, u, min_trick_v(C, u), eps=eps, gate=gate
+            )
         if normalize_costs:
             from ..ops.dual import robust_normalize
 
@@ -122,18 +134,11 @@ def make_sharded_pipeline(
         u = preds["u"][0].astype(C.dtype)
         if normalize_costs:
             u = u * a + mn
-        v = min_trick_v(C, u)
         if seed_mode == "auto":
-            # Rank-1 analytic candidate (ops/rank1.py): the matvecs are
-            # row-local + an O(n) psum, the factor sorts/cumsum are O(n)
-            # replicated vectors — the no-matrix-allgather contract holds.
-            from ..ops.rank1 import rank1_duals
-
             u_r1, _ = rank1_duals(C)
-            v_r1 = min_trick_v(C, u_r1)
-            pick = (jnp.sum(u_r1) + jnp.sum(v_r1)) > (jnp.sum(u) + jnp.sum(v))
-            u = jnp.where(pick, u_r1, u)
-            v = jnp.where(pick, v_r1, v)
+            u, v = select_best_seed(C, (u, u_r1), min_trick=min_trick_v)
+        else:
+            v = min_trick_v(C, u)
         return lapjv_seeded_single(C, u, v, eps=eps, gate=gate)
 
     return run

@@ -116,3 +116,20 @@ def test_fast_row_features_gated_off_by_default(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(fast_row_features(C)), np.asarray(row_features(C))
     )
+
+
+def test_fast_row_features_forced_glue_parity(rng):
+    """The Pallas-routed branch's glue (batch flatten/vmap/pos-encode concat)
+    matches row_features end-to-end — exercised off-TPU via _force_pallas."""
+    from lapgnn_tpu.ops.features import fast_row_features, row_features
+
+    C = jnp.asarray(
+        np.stack([FAMILIES["uniform"](32, rng) for _ in range(3)]), jnp.float32
+    ).reshape(3, 1, 32, 32)[:, 0]  # (3, 32, 32)
+    got = np.asarray(fast_row_features(C, _force_pallas=True))
+    ref = np.asarray(row_features(C))
+    assert got.shape == ref.shape == (3, 32, 21)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+    # unbatched squeeze path too
+    got1 = np.asarray(fast_row_features(C[0], _force_pallas=True))
+    np.testing.assert_allclose(got1, ref[0], rtol=2e-5, atol=2e-6)
