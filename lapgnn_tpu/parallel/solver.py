@@ -12,7 +12,7 @@ the mesh axis, and every phase of the warm-started JV solve
   greedy tight matching       row-local proposals + O(n) column-acceptance
                               combine per round
   density / free-rows gate    local count + psum
-  micro-ARR / jacobi ARR      row-local two-min + O(n) column combine
+  jacobi ARR                  row-local two-min + O(n) column combine
   sweep augmentation          min-plus matvec: row-local (n/S, n) relax +
                               column-min pmin combine per sweep
 

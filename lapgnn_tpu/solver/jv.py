@@ -82,15 +82,15 @@ def column_reduction(C: jnp.ndarray) -> Matching:
     iota = lax.iota(INT, n)
 
     v = jnp.min(C, axis=0)
-    y = jnp.argmin(C, axis=0).astype(INT)
+    y0 = jnp.argmin(C, axis=0).astype(INT)
 
     # Unique assignment: x[i] = max{ j : y[j] == i } via scatter-max.
-    x = jnp.full((n,), -1, INT).at[y].max(iota)
+    x = jnp.full((n,), -1, INT).at[y0].max(iota)
     # Column keeps its row only if it won the scatter.
-    y = jnp.where(x[y] == iota, y, -1)
+    y = jnp.where(x[y0] == iota, y0, -1)
 
     # Count of columns that pointed at each row (pre-dedup).
-    claims = jnp.zeros((n,), INT).at[jnp.argmin(C, axis=0).astype(INT)].add(1)
+    claims = jnp.zeros((n,), INT).at[y0].add(1)
     unique_rows = (claims == 1) & (x >= 0)
 
     # Reduction transfer for uniquely assigned rows.
@@ -98,7 +98,10 @@ def column_reduction(C: jnp.ndarray) -> Matching:
     red_excl = jnp.where(iota[None, :] == x[:, None], jnp.inf, red)
     slack = jnp.min(red_excl, axis=1)  # min_{j != x_i} (C[i,j] - v[j])
     safe_x = jnp.where(x >= 0, x, 0)
-    delta = jnp.where(unique_rows, slack, 0.0).astype(C.dtype)
+    # n=1 (or an all-forbidden row): the excluded min is over an empty set,
+    # slack = inf, and an unguarded transfer would send v to -inf — garbage
+    # in the dual certificate.
+    delta = jnp.where(unique_rows & jnp.isfinite(slack), slack, 0.0).astype(C.dtype)
     # x is injective on assigned rows, so the scatter has no collisions.
     v = v.at[safe_x].add(-delta)
 
@@ -197,6 +200,45 @@ def _flip_along_path(
     return x, y
 
 
+def _bounded_augment_loop(m: Matching, n: int, round_fn) -> Matching:
+    """Run ``round_fn`` until the matching is complete, at most n+1 rounds.
+
+    Every round of each augmentation strategy matches at least one row when
+    the costs are finite, so n rounds always suffice.  The bound exists for
+    POISONED inputs: a NaN entry (or an all-inf forbidden row: inf - inf)
+    makes every distance comparison False — no flip happens, and an
+    unbounded ``while any(col_of_row < 0)`` would spin the device forever
+    inside one jitted call.  With the bound, garbage input returns a partial
+    matching that downstream verification (matching_cost gives NaN,
+    certify_assignment fails) reports instead of hanging.
+    """
+
+    def cond(state):
+        m, it = state
+        return jnp.any(m.col_of_row < 0) & (it <= n)
+
+    def body(state):
+        m, it = state
+        return round_fn(m), it + 1
+
+    out, _ = lax.while_loop(cond, body, (m, jnp.asarray(0, INT)))
+    return out
+
+
+def _one_path_round(C: jnp.ndarray, m: Matching) -> Matching:
+    free_row = jnp.argmin(m.col_of_row).astype(INT)  # first row with x = -1
+    final_j, pred, v = _find_augmenting_path(C, free_row, m.row_of_col, m.v)
+    x, y = _flip_along_path(free_row, final_j, pred, m.col_of_row, m.row_of_col)
+    return Matching(x, y, v)
+
+
+def _one_multisource_round(C: jnp.ndarray, m: Matching) -> Matching:
+    free = m.col_of_row < 0
+    final_j, pred, v = _multisource_path(C, free, m.row_of_col, m.v)
+    x, y = _flip_to_source(final_j, pred, m.col_of_row, m.row_of_col)
+    return Matching(x, y, v)
+
+
 def augment_all(C: jnp.ndarray, m: Matching) -> Matching:
     """Run shortest-augmenting-path for every free row until none remain.
 
@@ -204,16 +246,11 @@ def augment_all(C: jnp.ndarray, m: Matching) -> Matching:
     lapjv.cpp:293-315); each path search is internally vectorised.
     """
 
-    def cond(m: Matching):
-        return jnp.any(m.col_of_row < 0)
-
-    def body(m: Matching) -> Matching:
-        free_row = jnp.argmin(m.col_of_row).astype(INT)  # first row with x = -1
-        final_j, pred, v = _find_augmenting_path(C, free_row, m.row_of_col, m.v)
-        x, y = _flip_along_path(free_row, final_j, pred, m.col_of_row, m.row_of_col)
-        return Matching(x, y, v)
-
-    return lax.while_loop(cond, body, m)
+    return _bounded_augment_loop(
+        m,
+        C.shape[-1],
+        lambda m: _one_path_round(C, m),
+    )
 
 
 class _MSDState(NamedTuple):
@@ -315,16 +352,11 @@ def _flip_to_source(
 def augment_all_multisource(C: jnp.ndarray, m: Matching) -> Matching:
     """Complete the matching: one multi-source search + flip per free row."""
 
-    def cond(m: Matching):
-        return jnp.any(m.col_of_row < 0)
-
-    def body(m: Matching) -> Matching:
-        free = m.col_of_row < 0
-        final_j, pred, v = _multisource_path(C, free, m.row_of_col, m.v)
-        x, y = _flip_to_source(final_j, pred, m.col_of_row, m.row_of_col)
-        return Matching(x, y, v)
-
-    return lax.while_loop(cond, body, m)
+    return _bounded_augment_loop(
+        m,
+        C.shape[-1],
+        lambda m: _one_multisource_round(C, m),
+    )
 
 
 class _SweepState(NamedTuple):
@@ -541,9 +573,6 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
     n = C.shape[-1]
     inf = jnp.asarray(jnp.inf, C.dtype)
 
-    def cond(m: Matching):
-        return jnp.any(m.col_of_row < 0)
-
     def body(m: Matching) -> Matching:
         x, y, v = m
         free_row = x < 0
@@ -590,7 +619,7 @@ def augment_all_sweep(C: jnp.ndarray, m: Matching) -> Matching:
         x, y = _flip_disjoint_paths(x, y, pred_row, cand)
         return Matching(x, y, v)
 
-    return lax.while_loop(cond, body, m)
+    return _bounded_augment_loop(m, n, body)
 
 
 def polish_matching(

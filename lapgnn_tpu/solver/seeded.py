@@ -19,7 +19,7 @@ TPU-native re-design of the reference's novel C++ kernel
                                              reduction (jv.column_reduction)
   micro-ARR on free rows (:134-159)          vectorised two-min per free row,
                                              per-column max-delta scatter
-  augmentation only (_ca_dense) (:161-167)   jv.augment_all
+  augmentation only (_ca_dense) (:161-167)   jv.augment_all_sweep (tie-group multi-path)
 
 Only the column duals v actually influence the result: the row-tightening
 phase overwrites u entirely (true in the reference as well), so the projection
@@ -29,7 +29,7 @@ here just caps v against the seed u before discarding u.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +38,6 @@ from jax import lax
 from .jv import (
     INT,
     Matching,
-    augment_all,
-    augment_all_multisource,
     augment_all_sweep,
     column_reduction,
     matching_cost,
@@ -84,7 +82,11 @@ def _hash_scores(n: int, rnd: jnp.ndarray) -> jnp.ndarray:
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x27D4EB2F)
     h = h ^ (h >> 13)
-    return (h & jnp.uint32(0x7FFFFFFF)).astype(INT)
+    # Strictly below int32-max: 0x7FFFFFFF is the 'unavailable' sentinel in
+    # greedy_tight_matching; a score equal to it would let a free row whose
+    # only available column hashes there propose column 0 instead (duplicate
+    # column in the matching, ~2^-31 per row-round).
+    return jnp.minimum(h & jnp.uint32(0x7FFFFFFF), jnp.uint32(0x7FFFFFFE)).astype(INT)
 
 
 class _GreedyState(NamedTuple):
@@ -150,42 +152,6 @@ def greedy_tight_matching(tight: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     )
     s = lax.while_loop(cond, body, init)
     return s.col_of_row, s.row_of_col
-
-
-def _micro_arr(
-    red: jnp.ndarray,
-    v: jnp.ndarray,
-    col_of_row: jnp.ndarray,
-    row_of_col: jnp.ndarray,
-    tight_eps: jnp.ndarray,
-) -> jnp.ndarray:
-    """Micro augmenting-row-reduction (lapjv_seeded.cpp:134-159), vectorised.
-
-    For each free row, find its two smallest reduced costs (min1 at j1, min2).
-    If the gap exceeds tight_eps and j1 is a *free* column, raise v[j1] by the
-    gap to create a second tight edge.  Conflicts between free rows targeting
-    the same column are resolved by taking the largest delta (the reference
-    applies them sequentially; the effect is equivalent for the common case of
-    at most one contender, and this phase almost never fires because a free
-    row's argmin column is tight and therefore already matched).
-    """
-    n = red.shape[-1]
-    free_row = col_of_row < 0
-
-    min1 = jnp.min(red, axis=1)
-    j1 = jnp.argmin(red, axis=1).astype(INT)
-    iota_cols = lax.broadcasted_iota(INT, red.shape, 1)
-    red_excl = jnp.where(iota_cols == j1[:, None], jnp.inf, red)
-    min2 = jnp.min(red_excl, axis=1)
-
-    gap = (min2 - min1).astype(v.dtype)
-    col_free = row_of_col < 0
-    eligible = free_row & (gap > tight_eps) & col_free[jnp.where(j1 >= 0, j1, 0)]
-    delta = jnp.where(eligible, gap, 0.0)
-
-    j1_safe = jnp.where(eligible, j1, n)
-    bump = jnp.zeros((n + 1,), v.dtype).at[j1_safe].max(delta)
-    return v + bump[:n]
 
 
 class _ArrState(NamedTuple):
@@ -299,7 +265,7 @@ def lapjv_seeded_single(
     project_rounds: int = 2,
     gate: str = "density",
     free_rows_frac: float = 0.5,
-    arr_rounds: int = 0,
+    arr_rounds: Optional[int] = None,
 ) -> SeededResult:
     """Warm-started dense JV solve for one square instance.
 
@@ -357,15 +323,23 @@ def lapjv_seeded_single(
         return column_reduction(C)
 
     def warm(_):
-        v_adj = _micro_arr(red, v, x, y, tight_eps)
-        return Matching(col_of_row=x, row_of_col=y, v=v_adj)
+        # The reference's micro-ARR phase (lapjv_seeded.cpp:134-159) is a
+        # provable no-op in this design: u = min_j(C - v) makes every row's
+        # argmin reduced cost exactly 0.0 (same-float subtraction), so each
+        # free row's best column is tight — and greedy_tight_matching is
+        # MAXIMAL, so no free row can face a free tight column.  The phase's
+        # precondition (free row whose best column is free but not tight)
+        # cannot occur; skipping it saves a full O(n^2) two-min pass per
+        # warm solve.
+        return Matching(col_of_row=x, row_of_col=y, v=v)
 
     m = lax.cond(use_fallback, cold, warm, None)
     # Parallel ARR collapses most remaining free rows with O(n^2)-per-round
     # vector work; min-plus sweep augmentation (which flips a whole
     # tied-distance GROUP of paths per round) finishes the rest.  Rounds
     # scale with n by default; ``arr_rounds`` overrides for tuning.
-    m = jacobi_arr(C, m, max_rounds=arr_rounds or max(64, n // 16))
+    rounds = arr_rounds if arr_rounds is not None else max(64, n // 16)
+    m = jacobi_arr(C, m, max_rounds=rounds)
     m = augment_all_sweep(C, m)
     # Exactness polish: the greedy phase accepts edges within tight_eps of
     # tight; on optima separated by less than that, re-augment the offending
@@ -381,7 +355,8 @@ def lapjv_seeded_single(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "project_rounds", "gate", "free_rows_frac")
+    jax.jit,
+    static_argnames=("eps", "project_rounds", "gate", "free_rows_frac", "arr_rounds"),
 )
 def lapjv_seeded_batch(
     C: jnp.ndarray,
@@ -391,6 +366,7 @@ def lapjv_seeded_batch(
     project_rounds: int = 2,
     gate: str = "density",
     free_rows_frac: float = 0.5,
+    arr_rounds: Optional[int] = None,
 ) -> SeededResult:
     """vmapped batched seeded solve over (B, n, n) with (B, n) seeds."""
     fn = functools.partial(
@@ -398,6 +374,7 @@ def lapjv_seeded_batch(
         eps=eps,
         project_rounds=project_rounds,
         gate=gate,
+        arr_rounds=arr_rounds,
         free_rows_frac=free_rows_frac,
     )
     return jax.vmap(fn)(C, u_seed, v_seed)

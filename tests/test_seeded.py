@@ -217,3 +217,52 @@ def test_augment_all_sweep_from_column_reduction(rng):
         x = np.asarray(m.col_of_row)
         assert sorted(x.tolist()) == list(range(40))
         assert abs(float(matching_cost(Cj, m.col_of_row)) - _opt(C)) < 1e-9
+
+
+def test_nan_cost_returns_instead_of_hanging():
+    """A NaN entry must not hang the jitted solve (the outer augmentation
+    loops are bounded at n+1 rounds); the partial result is reported via a
+    NaN cost / non-permutation, not a deadlock."""
+    import time
+
+    n = 16
+    rng = np.random.default_rng(0)
+    C = rng.uniform(0, 1, (n, n)).astype(np.float32)
+    C[3, :] = np.nan
+    u = np.zeros(n, np.float32)
+    v = np.nanmin(C, axis=0).astype(np.float32)
+    t0 = time.time()
+    res = lapjv_seeded_single(jnp.asarray(C), jnp.asarray(u), jnp.asarray(v), gate="never")
+    cost = float(res.cost)
+    assert time.time() - t0 < 60.0
+    x = np.asarray(res.col_of_row)
+    # poisoned input: either an incomplete matching or a NaN cost — never a
+    # silently-wrong finite answer
+    assert (x < 0).any() or np.isnan(cost)
+
+
+def test_arr_rounds_zero_disables_arr_phase():
+    """arr_rounds=0 must actually skip the Jacobi ARR phase (falsy-zero bug):
+    the sweep augmentation alone still reaches the exact optimum."""
+    rng = np.random.default_rng(1)
+    n = 32
+    C = rng.uniform(0, 1, (n, n))
+    C32 = jnp.asarray(C, jnp.float32)
+    v = jnp.min(C32, axis=0)
+    res = lapjv_seeded_single(C32, jnp.zeros(n, jnp.float32), v, gate="never", arr_rounds=0)
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    assert float(res.cost) == pytest.approx(C[r, c].sum(), rel=1e-6)
+    # batch path forwards the knob too
+    resb = lapjv_seeded_batch(C32[None], jnp.zeros((1, n), jnp.float32), v[None],
+                              gate="never", arr_rounds=0)
+    assert float(resb.cost[0]) == pytest.approx(C[r, c].sum(), rel=1e-6)
+
+
+def test_n1_column_reduction_finite_duals():
+    """n=1: the reduction-transfer min is over an empty set; v must stay
+    finite (was -inf, poisoning the dual certificate)."""
+    from lapgnn_tpu.solver.jv import column_reduction
+
+    m = column_reduction(jnp.asarray([[3.5]], jnp.float32))
+    assert int(m.col_of_row[0]) == 0
+    assert np.isfinite(float(m.v[0]))
