@@ -110,9 +110,14 @@ def robust_normalize(
     feasibility and exactness are unaffected by the clip).
     """
     is_real = C < jnp.asarray(sentinel, C.dtype)
-    big = jnp.asarray(BIG, C.dtype)
-    mn = jnp.min(jnp.where(is_real, C, big), axis=(-2, -1), keepdims=True)
-    mx = jnp.max(jnp.where(is_real, C, -big), axis=(-2, -1), keepdims=True)
+    # +/-inf fills, NOT +/-BIG: with all real entries below -1e6 a -BIG fill
+    # would WIN the max and inflate the scale — the exact sentinel-sets-the-
+    # scale failure this function exists to prevent, recurring for large-
+    # negative cost regimes.  The all-sentinel fallback below handles the
+    # degenerate case the finite fill used to paper over.
+    inf = jnp.asarray(jnp.inf, C.dtype)
+    mn = jnp.min(jnp.where(is_real, C, inf), axis=(-2, -1), keepdims=True)
+    mx = jnp.max(jnp.where(is_real, C, -inf), axis=(-2, -1), keepdims=True)
     # Degenerate (all-sentinel) instances fall back to plain min/max.
     any_real = jnp.any(is_real, axis=(-2, -1), keepdims=True)
     mn = jnp.where(any_real, mn, jnp.min(C, axis=(-2, -1), keepdims=True))

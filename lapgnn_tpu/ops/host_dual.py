@@ -31,6 +31,8 @@ __all__ = [
     "check_dual_and_match_np",
     "reduce_costs_np",
     "normalize01_np",
+    "affine_invariance_check",
+    "print_env_summary",
 ]
 
 
@@ -109,9 +111,23 @@ def oracle_duals_np(
     try:
         u, v, _ = duals_from_matching_np(C, rows, cols)
     except (RuntimeError, AssertionError):
+        # Reconstruction failed (threshold trip on large-magnitude costs):
+        # the raw tight-edge potentials are generally dual-INFEASIBLE, and
+        # callers treat this function's output as optimal duals (dataset
+        # labels, oracle-seed benchmarks) — project to feasibility instead
+        # of returning them unchecked.
+        import warnings
+
+        warnings.warn(
+            "oracle_duals_np: dual reconstruction failed; returning "
+            "projected (feasible but possibly non-optimal) duals",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         u = np.zeros(n, dtype=np.float64)
         v = np.min(C, axis=0)
         u[rows] = C[rows, cols] - v[cols]
+        u, v = project_feasible_np(C, u, v)
     if noise_level > 0:
         rng = np.random.default_rng(noise_seed)
         u = u + rng.normal(0.0, noise_level, n)
@@ -123,7 +139,7 @@ def make_feasible_duals_np(
     C: np.ndarray,
     iters: int = 2,
     noise_std: float = 0.0,
-    project_rounds: int = 2,
+    project_rounds: int = 10,
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Solve -> reconstruct -> (noise) -> project (advanced_dual.py:85-113)."""
@@ -134,8 +150,11 @@ def make_feasible_duals_np(
         rng = rng or np.random.default_rng(0)
         u = u + rng.normal(0.0, noise_std, size=u.shape)
         v = v + rng.normal(0.0, noise_std, size=v.shape)
-    rounds = max(int(project_rounds), int(iters or 0))
-    return project_feasible_np(C, u, v, max_rounds=max(10, rounds), tol=1e-12)
+    # Honest knob: an explicit project_rounds/iters is respected (the old
+    # max(10, rounds) silently overrode anything below 10); the early
+    # feasibility break inside project_feasible_np keeps small values safe.
+    rounds = max(int(project_rounds), int(iters or 0), 1)
+    return project_feasible_np(C, u, v, max_rounds=rounds, tol=1e-12)
 
 
 def check_dual_feasible_np(C, u, v, tol: float = 1e-8) -> bool:

@@ -164,3 +164,56 @@ def test_rank1_monge_tie_structure_exact(noise, rng):
     opt = _opt(C64)
     assert got == pytest.approx(opt, abs=max(1e-6, 1e-5 * abs(opt)))
     assert not bool(res.used_fallback)
+
+
+def test_certificate_rejects_nan_and_nonpermutation():
+    """max(0.0, nan) == 0.0 previously CERTIFIED NaN-poisoned solves; the
+    LP-duality premise also requires a bijection — both must now fail."""
+    C = np.array([[0.0, 10.0], [0.0, 10.0]])
+    ok, viol, bound = certify_assignment(C, np.array([0, 0]), np.array([0.0, 10.0]))
+    assert not ok and viol == np.inf
+
+    Cn = np.array([[0.0, 1.0], [np.nan, 0.0]])
+    ok, viol, _ = certify_assignment(Cn, np.array([0, 1]), np.zeros(2))
+    assert not ok and not np.isfinite(viol) or viol > 0  # never certified
+    assert not ok
+
+
+def test_verify_gate_rejects_nan_and_bad_rows():
+    """The cross-solver gate is NaN-hostile and checks BOTH index vectors."""
+    from lapgnn_tpu.solver.verification import verify_solver_correctness
+
+    class NanSolver:
+        name = "nan"
+
+        def solve(self, C):
+            n = C.shape[0]
+            return np.arange(n), np.arange(n), float("nan")
+
+    class DupRowSolver:
+        name = "duprow"
+
+        def solve(self, C):
+            n = C.shape[0]
+            return np.zeros(n, np.int64), np.arange(n), float(C[0].sum())
+
+    C = np.ones((3, 3))
+    with pytest.raises(AssertionError):
+        verify_solver_correctness(C, solvers=[NanSolver()])
+    with pytest.raises(AssertionError):
+        verify_solver_correctness(C, solvers=[DupRowSolver()])
+
+
+def test_verify_gate_seeded_typeerror_not_swallowed():
+    """A TypeError raised INSIDE a seeded solver must propagate, not be
+    silently retried unseeded (which would skip the code path under test)."""
+    from lapgnn_tpu.solver.verification import verify_solver_correctness
+
+    class BrokenSeeded:
+        name = "broken"
+
+        def solve(self, C, u=None, v=None):
+            raise TypeError("internal dtype misuse")
+
+    with pytest.raises(TypeError):
+        verify_solver_correctness(np.ones((2, 2)), solvers=[BrokenSeeded()])
