@@ -32,14 +32,23 @@ class NativeSolveError(RuntimeError):
 
 def _build_and_load() -> ctypes.CDLL:
     src = _SRC.read_text()
-    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    # Cache key = source hash + host architecture: the build uses
+    # -march=native, so a shared home dir across heterogeneous machines
+    # must not serve one machine's AVX-512 binary to another (SIGILL).
+    import platform
+
+    host = f"{platform.machine()}-{platform.processor() or 'cpu'}"
+    tag = hashlib.sha256((src + host).encode()).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("LAPGNN_NATIVE_CACHE", Path.home() / ".cache" / "lapgnn_tpu")
     )
     cache_dir.mkdir(parents=True, exist_ok=True)
     so = cache_dir / f"liblapx_{tag}.so"
     if not so.exists():
-        tmp = so.with_suffix(".so.tmp")
+        # PID-unique temp + atomic rename: concurrent cold-start processes
+        # (pytest-xdist, multi-process loaders) must not write through the
+        # same path and publish a half-written ELF under the cached name.
+        tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = [
             "g++",
             "-O3",
@@ -80,6 +89,10 @@ def _lib() -> ctypes.CDLL:
     global _LIB, _LOAD_ERROR
     if _LIB is None:
         with _LOCK:
+            if _LOAD_ERROR is not None:
+                # Fail fast: don't spawn a fresh (doomed) compiler subprocess
+                # on every call after the first failure.
+                raise NativeSolveError(f"native build failed: {_LOAD_ERROR}")
             if _LIB is None:
                 try:
                     _LIB = _build_and_load()
@@ -133,7 +146,8 @@ def lapjv_seeded_native(
 
     ``gate`` selects the cold-fallback criterion (mirrors the device solver):
     "density" (reference 1.2n rule), "free_rows" (> half the rows unmatched
-    after the greedy phase), "never".
+    after the greedy phase), "both" (cold only when BOTH heuristics deem the
+    seed bad — the production default across the pipeline), "never".
     """
     C = np.ascontiguousarray(C, dtype=np.float64)
     n = C.shape[0]
@@ -141,6 +155,12 @@ def lapjv_seeded_native(
         raise ValueError("lapjv_seeded_native expects a square matrix")
     u_seed = np.ascontiguousarray(u_seed, dtype=np.float64)
     v_seed = np.ascontiguousarray(v_seed, dtype=np.float64)
+    if u_seed.shape != (n,) or v_seed.shape != (n,):
+        # ndpointer checks dtype/contiguity only; a short seed would be an
+        # out-of-bounds READ in the C++ (garbage duals or a segfault).
+        raise ValueError(
+            f"seed shapes {u_seed.shape}/{v_seed.shape} must be ({n},)"
+        )
     x = np.empty(n, np.int32)
     y = np.empty(n, np.int32)
     fb = np.zeros(1, np.int32)
@@ -192,6 +212,20 @@ def lapmod_native(
     values = np.ascontiguousarray(values, np.float64)
     if row_ptr.shape[0] != n + 1:
         raise ValueError("row_ptr must have n+1 entries")
+    # Full CSR validation before handing raw pointers to C++: an index
+    # outside [0, n) or a row_ptr overrunning the buffers would be an
+    # out-of-bounds heap WRITE (v[j]/y[j]) — process corruption, not a
+    # Python exception.
+    nnz = int(row_ptr[-1])
+    if np.any(np.diff(row_ptr) < 0) or int(row_ptr[0]) != 0:
+        raise ValueError("row_ptr must be nondecreasing and start at 0")
+    if col_idx.shape[0] < nnz or values.shape[0] < nnz:
+        raise ValueError(
+            f"col_idx/values need at least row_ptr[n]={nnz} entries "
+            f"(got {col_idx.shape[0]}/{values.shape[0]})"
+        )
+    if nnz and (col_idx[:nnz].min() < 0 or col_idx[:nnz].max() >= n):
+        raise ValueError("col_idx entries must be in [0, n)")
     x = np.empty(n, np.int32)
     y = np.empty(n, np.int32)
     u = np.empty(n, np.float64)

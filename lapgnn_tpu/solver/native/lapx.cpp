@@ -210,6 +210,17 @@ int augment_all(DualState& S, const vector<int>& free_rows) {
     const int rc = augment_from(S, f);
     if (rc != 0) return rc;
   }
+  // Final rescan: arr_sweep drops rows with no finite slack from its free
+  // list (j1 < 0 -> continue), so the caller-supplied list can be
+  // incomplete.  A disconnected row must surface as rc = -1, not as a
+  // silent x[i] = -1 inside an rc = 0 "success" (the sparse path rescans
+  // the same way).
+  for (int i = 0; i < S.n; ++i) {
+    if (S.col_of_row[i] < 0) {
+      const int rc = augment_from(S, i);
+      if (rc != 0) return rc;
+    }
+  }
   return 0;
 }
 
@@ -334,25 +345,14 @@ int lapx_seeded(int n, const double* C, const double* u_seed,
   }
   if (used_fallback) *used_fallback = 0;
 
-  // Micro-ARR: if a free row's cheapest column is itself free and the gap to
-  // its second choice is significant, raise that column's potential to grow
-  // the tight subgraph (lapjv_seeded.cpp:134-159).
-  for (int i : free_rows) {
-    double s1 = INF, s2 = INF;
-    int j1 = -1;
-    for (int j = 0; j < n; ++j) {
-      const double s = S.slack(i, j) - u[i];
-      if (s < s1) {
-        s2 = s1;
-        s1 = s;
-        j1 = j;
-      } else if (s < s2) {
-        s2 = s;
-      }
-    }
-    if (j1 >= 0 && s2 - s1 > tight_eps && S.row_of_col[j1] < 0)
-      S.v[j1] += (s2 - s1);
-  }
+  // The reference's micro-ARR phase (lapjv_seeded.cpp:134-159) is a
+  // provable no-op here: after row tightening u[i] = min_j slack(i, j), a
+  // free row's strict argmin column is TIGHT and the greedy pass is
+  // maximal, so a free tight column cannot face a free row.  (The removed
+  // block also applied the update with the wrong sign — raising v[j1]
+  // breaks the nonnegative-reduced-cost invariant Dijkstra relies on —
+  // which could never fire, but would have corrupted duals if it had.
+  // Mirrors the device-solver removal, solver/seeded.py.)
 
   const int rc = augment_all(S, free_rows);
   if (rc != 0) return rc;

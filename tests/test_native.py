@@ -107,3 +107,41 @@ def test_sparse_lapmod_infeasible_raises():
     values = np.array([1.0, 2.0])
     with pytest.raises(native.NativeSolveError):
         native.lapmod_native(2, row_ptr, col_idx, values)
+
+
+def test_dense_disconnected_row_raises_not_silent():
+    """An all-inf row has no finite assignment; the dense path must raise
+    NativeSolveError (rc=-1), not return rc=0 with x[i] = -1 (which callers
+    would silently index as the last column)."""
+    from lapgnn_tpu.solver.native import NativeSolveError, lapjv_native
+
+    C = np.array([[np.inf, np.inf], [1.0, 2.0]])
+    with pytest.raises(NativeSolveError):
+        lapjv_native(C)
+
+
+def test_seeded_rejects_short_seed():
+    from lapgnn_tpu.solver.native import lapjv_seeded_native
+
+    C = np.random.default_rng(0).uniform(0, 1, (8, 8))
+    with pytest.raises(ValueError):
+        lapjv_seeded_native(C, np.zeros(4), np.zeros(8))
+
+
+def test_lapmod_rejects_bad_csr():
+    from lapgnn_tpu.solver.native import lapmod_native
+
+    with pytest.raises(ValueError):
+        lapmod_native(
+            4,
+            np.array([0, 1, 2, 3, 4], np.int32),
+            np.array([0, 1, 2, 9], np.int32),  # 9 >= n: OOB heap write in C++
+            np.ones(4),
+        )
+    with pytest.raises(ValueError):
+        lapmod_native(
+            2,
+            np.array([0, 2, 5], np.int32),  # row_ptr[n]=5 > len(col_idx)=3
+            np.array([0, 1, 0], np.int32),
+            np.ones(3),
+        )
