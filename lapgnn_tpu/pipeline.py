@@ -13,7 +13,7 @@ SeededLAPSolver).  Two execution modes:
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +115,11 @@ class WarmStartPipeline:
     ):
         if mode not in ("device", "hybrid"):
             raise ValueError("mode must be 'device' or 'hybrid'")
+        if gate not in ("density", "free_rows", "both", "never"):
+            # fail here, not deep inside a jit trace / the native bindings
+            raise ValueError(
+                "gate must be 'density', 'free_rows', 'both', or 'never'"
+            )
         # Large-n programs (n=16K) compile in minutes; the persistent cache
         # makes that a once-per-machine cost (utils/compile_cache.py).
         from .utils.compile_cache import enable_persistent_cache
@@ -146,13 +151,9 @@ class WarmStartPipeline:
             # free-rows gate avoids the reference density gate's spurious
             # cold fallbacks (see lapjv_seeded_single docstring).
             self._solve = functools.partial(lapjv_seeded_batch, eps=eps, gate=gate)
-            self._e2e = self._build_e2e(
-                model, use_cost_refinement, eps, gate, normalize_costs, seed_mode
-            )
+            self._e2e = self._build_e2e(self._predict, eps, gate)
 
-    def _build_e2e(
-        self, model, use_cost_refinement, eps, gate, normalize_costs, seed_mode
-    ):
+    def _build_e2e(self, predict, eps, gate):
         """One fused device program: features -> model -> min-trick -> seeded
         solve -> packed result.
 
@@ -167,9 +168,6 @@ class WarmStartPipeline:
         from .solver.seeded import lapjv_seeded_single
 
         single = functools.partial(lapjv_seeded_single, eps=eps, gate=gate)
-        predict = predict_duals_fn(
-            model, use_cost_refinement, normalize_costs, seed_mode
-        )
 
         @jax.jit
         def e2e(params, cost):
@@ -242,17 +240,40 @@ class WarmStartPipeline:
                         tol=self.certify_tol,
                     )
                     certified[b], gap_bound[b] = ok, bound
-                    if not ok:
-                        # f64 polish warm-started from the device duals.
-                        from .solver.native import lapjv_seeded_native
+                    if ok:
+                        # Report the f64 cost of the certified assignment:
+                        # the device value is an f32 accumulation of the
+                        # f32-cast C and drifts at large n even when the
+                        # assignment itself is exactly optimal.
+                        out["cost"][b] = float(
+                            cost_np[b][np.arange(n), out["col_of_row"][b]].sum()
+                        )
+                    else:
+                        # f64 polish warm-started from the device duals —
+                        # unless the device result is unusable (NaN duals,
+                        # non-bijective x from a poisoned input): those
+                        # seeds would corrupt the warm start, so cold-solve.
+                        from .solver.native import (
+                            lapjv_native,
+                            lapjv_seeded_native,
+                        )
 
-                        u_b = (
-                            cost_np[b][np.arange(n), out["col_of_row"][b]]
-                            - v_all[b][out["col_of_row"][b]]
+                        x_b = out["col_of_row"][b]
+                        valid = (
+                            np.array_equal(np.sort(x_b), np.arange(n))
+                            and np.isfinite(v_all[b]).all()
                         )
-                        x, _, c = lapjv_seeded_native(
-                            cost_np[b], u_b, v_all[b], eps=self.eps
-                        )
+                        if valid:
+                            u_b = (
+                                cost_np[b][np.arange(n), x_b]
+                                - v_all[b][x_b]
+                            )
+                            x, _, c = lapjv_seeded_native(
+                                cost_np[b], u_b, v_all[b], eps=self.eps,
+                                gate=self.gate,
+                            )
+                        else:
+                            x, _, c = lapjv_native(cost_np[b])
                         out["col_of_row"][b] = x
                         out["cost"][b] = c
                         certified[b], gap_bound[b] = True, 0.0
@@ -260,7 +281,15 @@ class WarmStartPipeline:
                 out["gap_bound"] = gap_bound
             return out
 
-        return self._solve_hybrid(cost, cost_dev)
+        out = self._solve_hybrid(cost, cost_dev)
+        if certify:
+            # Hybrid solves are float64-exact end-to-end; the certificate is
+            # trivially satisfied (previously certify=True was silently
+            # IGNORED here, breaking the documented output schema).
+            B = len(out["cost"])
+            out["certified"] = np.ones(B, bool)
+            out["gap_bound"] = np.zeros(B)
+        return out
 
     def solve_stream(self, costs) -> list:
         """Pipelined streaming solve: overlap H2D, compute, and D2H.
@@ -314,7 +343,6 @@ class WarmStartPipeline:
         from .solver.native import lapjv_seeded_native
 
         packed_uv = np.asarray(self._predict_packed(self.params, cost_dev))
-        n = cost_dev.shape[-1]
         u_np = packed_uv[:, 0, :].astype(np.float64)
         v_np = packed_uv[:, 1, :].astype(np.float64)
         cost_np = np.asarray(cost, np.float64)

@@ -53,7 +53,10 @@ def lapjv(
     if C.ndim != 2:
         raise ValueError("2-dimensional array expected")
     n_rows, n_cols = C.shape
-    if n_rows != n_cols and not extend_cost and not np.isfinite(cost_limit):
+    if n_rows != n_cols and not extend_cost:
+        # The reference raises for ANY non-square input without extend_cost,
+        # cost_limit or not (_lapjv.pyx:80-84) — a finite cost_limit must not
+        # paper over a caller's shape bug.
         raise ValueError(
             "Square cost array expected. If cost is intentionally non-square, "
             "pass extend_cost=True."
@@ -111,8 +114,12 @@ def lapmod(
     cc = np.ascontiguousarray(cc, np.float64)
     ii = np.ascontiguousarray(ii, np.int64)
     kk = np.ascontiguousarray(kk, np.int64)
+    if n <= 0:
+        raise ValueError("n must be positive (lap/lapmod.py:249)")
     if ii.shape[0] != n + 1:
         raise ValueError("ii must have n+1 entries")
+    if kk.shape[0] == 0 or int(ii[-1]) == 0:
+        raise ValueError("empty sparse cost (no allowed edges)")
     if np.any(cc < 0):
         raise ValueError("negative costs are not supported")
     if np.any(cc >= LARGE):
@@ -140,7 +147,32 @@ def lapjv_seeded(
     from .native import lapjv_seeded_native
 
     C = np.ascontiguousarray(cost, dtype=np.float64)
-    if C.ndim != 2 or C.shape[0] != C.shape[1]:
-        raise ValueError("square cost matrix expected")
-    x, y, total = lapjv_seeded_native(C, u, v, eps=eps)
-    return np.asarray(x, np.int32), np.asarray(y, np.int32), float(total)
+    if C.ndim != 2:
+        raise ValueError("2-dimensional cost matrix expected")
+    n_rows, n_cols = C.shape
+    u = np.ascontiguousarray(u, np.float64)
+    v = np.ascontiguousarray(v, np.float64)
+    if u.shape[0] != n_rows or v.shape[0] != n_cols:
+        raise ValueError("seed lengths must match the cost shape")
+    if n_rows == n_cols:
+        x, y, total = lapjv_seeded_native(C, u, v, eps=eps)
+        return np.asarray(x, np.int32), np.asarray(y, np.int32), float(total)
+    # Rectangular (reference _seeded_jv.pyx accepts (n_rows, n_cols)):
+    # zero-pad to square — dummy rows/cols cost 0, so the square optimum
+    # restricted to real rows is the rectangular optimum; seeds are padded
+    # with zeros (seed quality only affects speed, never exactness).
+    m = max(n_rows, n_cols)
+    Ce = np.zeros((m, m), np.float64)
+    Ce[:n_rows, :n_cols] = C
+    ue = np.zeros(m, np.float64)
+    ue[:n_rows] = u
+    ve = np.zeros(m, np.float64)
+    ve[:n_cols] = v
+    xe, ye, _ = lapjv_seeded_native(Ce, ue, ve, eps=eps)
+    x = xe[:n_rows].astype(np.int32)
+    x[x >= n_cols] = -1
+    y = ye[:n_cols].astype(np.int32)
+    y[y >= n_rows] = -1
+    mask = x >= 0
+    total = float(C[np.nonzero(mask)[0], x[mask]].sum())
+    return x, y, total

@@ -142,3 +142,32 @@ def test_pure_python_check_cost():
         check_cost(np.array([-1.0]))
     with pytest.raises(ValueError):
         check_cost(np.array([2e6]))
+
+
+def test_lapjv_nonsquare_with_cost_limit_raises():
+    """Reference raises for ANY non-square input without extend_cost
+    (_lapjv.pyx:80-84); a finite cost_limit must not bypass the check."""
+    with pytest.raises(ValueError):
+        lap.lapjv(np.ones((3, 5)), cost_limit=2.0)
+
+
+def test_lapmod_rejects_empty():
+    with pytest.raises(ValueError):
+        lap.lapmod(0, np.array([]), np.array([0]), np.array([]))
+    with pytest.raises(ValueError):
+        lap.lapmod(2, np.array([]), np.array([0, 0, 0]), np.array([]))
+
+
+def test_lapjv_seeded_rectangular():
+    """Reference lap.lapjv_seeded accepts (n_rows, n_cols); verify the
+    rectangular optimum against SciPy with -1 for unmatched columns."""
+    rng = np.random.default_rng(3)
+    C = rng.uniform(0, 1, (4, 7))
+    x, y, total = lap.lapjv_seeded(C, np.zeros(4), C.min(axis=0))
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    assert total == pytest.approx(C[r, c].sum(), rel=1e-9)
+    assert (x >= 0).all() and len(set(x.tolist())) == 4
+    assert (y == -1).sum() == 3  # 3 unmatched columns
+    for j, i in enumerate(y):
+        if i >= 0:
+            assert x[i] == j
