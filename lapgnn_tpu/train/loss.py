@@ -106,11 +106,19 @@ def _shared_terms(cost, u_pred, mask, include_primal=True):
     else:
         # Cheap surrogate: maximise the dual lower bound directly (the
         # greedy upper bound is an O(n) sequential scan — the dominant train
-        # step cost at n >= 4096).  Offsetting by the row-min sum keeps the
-        # term positive and comparably scaled.
-        anchor = jnp.sum(jnp.min(cost, axis=-1), axis=-1) + jnp.sum(
-            jnp.min(cost, axis=-2), axis=-1
-        )
+        # step cost at n >= 4096).  Offsetting by the row/col-min sum keeps
+        # the term comparably scaled.  Mask-aware: padded entries hold the
+        # 1e6 sentinel, which would otherwise dominate the anchor and make
+        # every logged loss/primal_gap garbage on padded batches.
+        if mask is not None:
+            m2 = mask[..., :, None] & mask[..., None, :]
+            cm = jnp.where(m2, cost, jnp.inf)
+            rmin = jnp.where(mask, jnp.min(cm, axis=-1), 0.0)
+            cmin = jnp.where(mask, jnp.min(cm, axis=-2), 0.0)
+        else:
+            rmin = jnp.min(cost, axis=-1)
+            cmin = jnp.min(cost, axis=-2)
+        anchor = jnp.sum(rmin, axis=-1) + jnp.sum(cmin, axis=-1)
         primal_gap = anchor - dual_lower
     return u_pred, v_proj, mf, primal_gap, feas
 

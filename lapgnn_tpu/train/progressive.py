@@ -87,18 +87,32 @@ class RoundRobinSampler:
         active = [s for s in self.specs if s.curriculum_start_epoch <= self.epoch]
         if not active:
             return
-        queues = {s.name: self._batches_for(s) for s in active}
-        exhausted = {s.name: False for s in active}
-        while not all(exhausted.values()):
-            for spec in active:
-                if exhausted[spec.name]:
-                    continue
-                for _ in range(self.batches_per_size):
-                    if not queues[spec.name]:
-                        exhausted[spec.name] = True
-                        break
-                    idx = queues[spec.name].pop()
-                    insts = [spec.instances[i] for i in idx]
+        # Keyed by position, NOT spec.name: two YAML entries sharing a name
+        # (e.g. the same file at two sizes) must not share a queue — one
+        # dataset would silently never be trained on (or index out of
+        # bounds against the other's instance list).
+        queues = {i: self._batches_for(s) for i, s in enumerate(active)}
+        # The epoch is paced by the LARGEST dataset; smaller ones reshuffle
+        # on exhaust so the curriculum mixture holds through the epoch tail
+        # (reference train_progressive_clean.py:91-179) instead of
+        # collapsing to big-dataset-only batches.
+        primary = max(queues, key=lambda i: len(queues[i]))
+        done = False
+        while not done:
+            for i, spec in enumerate(active):
+                # Honor the per-dataset oversampling weight (previously
+                # parsed and printed but never read).
+                turns = max(1, round(self.batches_per_size * spec.weight))
+                for _ in range(turns):
+                    if not queues[i]:
+                        if i == primary:
+                            # End the epoch after this cycle — the OTHER
+                            # specs still take their turns below.
+                            done = True
+                            break
+                        queues[i] = self._batches_for(spec)
+                    idx = queues[i].pop()
+                    insts = [spec.instances[k] for k in idx]
                     cost = np.stack([x["cost"] for x in insts]).astype(np.float32)
                     u = np.stack([x["u"] for x in insts]).astype(np.float32)
                     yield spec, cost, u
@@ -121,6 +135,11 @@ def train_progressive(
     tcfg = config.get("training", {})
     ccfg = config.get("checkpointing", {})
 
+    if not specs:
+        raise ValueError(
+            "no datasets with instances — check the config's sizes/paths "
+            "(every dataset was skipped at load time)"
+        )
     model = OneGNN(
         hidden=int(mcfg.get("hidden", 64)),
         layers=int(mcfg.get("layers", 2)),
@@ -217,8 +236,12 @@ def train_progressive(
         for spec, cost, u in sampler:
             key, sub = jax.random.split(key)
             state, m = train_step(state, jnp.asarray(cost), jnp.asarray(u), sub)
-            losses.append(float(m["loss"]))
-        history["train_loss"].append(float(np.mean(losses)) if losses else 0.0)
+            # Keep the device array: float() here would force a host sync
+            # every step and serialise dispatch with batch assembly.
+            losses.append(m["loss"])
+        history["train_loss"].append(
+            float(np.mean([float(l) for l in losses])) if losses else 0.0
+        )
 
         # Per-split validation (<= 50 instances each, :571-588).
         split_medians = []
@@ -229,7 +252,7 @@ def train_progressive(
             gaps = []
             bs = default_batch_size(spec.size)
             for s in range(0, min(len(vals), 50), bs):
-                chunk = vals[s : s + bs]
+                chunk = vals[s : min(s + bs, 50)]
                 cost = jnp.asarray(
                     np.stack([x["cost"] for x in chunk]), jnp.float32
                 )
@@ -241,6 +264,12 @@ def train_progressive(
 
         gap_avg = float(np.mean(split_medians)) if split_medians else float("inf")
         history["val_gap_median_avg"].append(gap_avg)
+        if not split_medians:
+            # No validation sets: keep the LATEST params as best and never
+            # early-stop on the (meaningless) inf metric — previously a
+            # val-less run returned the untrained epoch-0 init.
+            best = {"gap": float("inf"), "params": jax.device_get(state.params)}
+            bad = 0
         log_fn(
             f"epoch {epoch}: loss={history['train_loss'][-1]:.4f} "
             f"val_gap_med_avg={gap_avg:.4f} ({time.perf_counter() - t0:.1f}s)"

@@ -250,8 +250,8 @@ def train_one_gnn(
         for cost, u, v in batcher:
             key, sub = jax.random.split(key)
             state, m = train_step(state, jnp.asarray(cost), jnp.asarray(u), sub)
-            losses.append(float(m["loss"]))
-        history["train_loss"].append(float(np.mean(losses)) if losses else 0.0)
+            losses.append(m["loss"])  # device array; float() would sync per step
+        history["train_loss"].append(float(np.mean([float(l) for l in losses])) if losses else 0.0)
 
         if val_instances:
             gaps = []

@@ -139,3 +139,51 @@ def test_round_robin_batches_are_size_homogeneous(rng):
     sampler.set_epoch(0)
     for spec, cost, u in sampler:
         assert cost.shape[1] == cost.shape[2] == spec.size
+
+
+def test_round_robin_duplicate_names_keep_separate_queues(rng):
+    """Two specs sharing a YAML name must not share a batch queue (one would
+    silently never train, or index out of the other's instance list)."""
+    specs = [
+        _mk_spec("same", 8, 6, 0, rng),
+        _mk_spec("same", 16, 4, 0, rng),
+    ]
+    sampler = RoundRobinSampler(specs, batches_per_size=8, seed=0)
+    sampler.set_epoch(0)
+    sizes_seen = {c.shape[-1] for _, c, _ in sampler}
+    assert sizes_seen == {8, 16}
+
+
+def test_round_robin_reshuffles_exhausted_minor_dataset(rng):
+    """Epoch is paced by the largest dataset; smaller ones reshuffle on
+    exhaust so the mixture holds through the epoch tail."""
+    big = _mk_spec("big", 8, 40, 0, rng)
+    small = _mk_spec("small", 16, 2, 0, rng)
+    sampler = RoundRobinSampler(
+        specs=[big, small], batches_per_size=1,
+        batch_size_rules=[(10**9, 2)], seed=0,
+    )
+    sampler.set_epoch(0)
+    rounds = [spec.name for spec, _, _ in sampler]
+    # small appears throughout, not only in the first cycle
+    last_small = max(i for i, nm in enumerate(rounds) if nm == "small")
+    assert last_small > len(rounds) // 2
+    # and the big dataset paces the epoch: all 40 of its instances appear
+    assert sum(1 for nm in rounds if nm == "big") == 20  # 40 inst / bs 2
+
+
+def test_round_robin_weight_oversamples(rng):
+    """DatasetSpec.weight scales the per-turn batch count (was a silently
+    dead config knob)."""
+    a = _mk_spec("a", 8, 40, 0, rng)
+    heavy = DatasetSpec(
+        name="h", size=16, instances=_mk_spec("x", 16, 40, 0, rng).instances,
+        weight=3.0, curriculum_start_epoch=0,
+    )
+    sampler = RoundRobinSampler(
+        [a, heavy], batches_per_size=1, batch_size_rules=[(10**9, 2)], seed=0
+    )
+    sampler.set_epoch(0)
+    rounds = [spec.name for spec, _, _ in sampler]
+    # each cycle: 1 batch of a, 3 of heavy
+    assert rounds[:8] == ["a", "h", "h", "h", "a", "h", "h", "h"]
