@@ -96,8 +96,13 @@ def generate_metric_costs(n: int, seed: int = 42) -> np.ndarray:
     """Euclidean distances between random 2-D points in [0, 100]^2
     (solvers/generators.py:97-110, vectorised)."""
     pts = _rng(seed).uniform(0.0, 100.0, (n, 2))
-    diff = pts[:, None, :] - pts[None, :, :]
-    return np.sqrt((diff * diff).sum(axis=-1)).astype(np.float64)
+    # Gram form, not an (n, n, 2) broadcast difference: the naive version
+    # peaks at ~5x the result's memory (10+ GB at n=16K for a 2 GB matrix).
+    sq = np.einsum("ij,ij->i", pts, pts)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
+    np.maximum(d2, 0.0, out=d2)  # rounding can leave tiny negatives
+    np.fill_diagonal(d2, 0.0)    # exactly zero self-distance (Gram residue)
+    return np.sqrt(d2, out=d2)
 
 
 def generate_clustered_costs(

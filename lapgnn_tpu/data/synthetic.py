@@ -47,7 +47,13 @@ def generate_synthetic_instance(
     noise_std: float = 0.15,
     dual_noise_prob: float = 0.0,
 ) -> SyntheticInstance:
-    """Generate one labelled instance (data/generators.py:97-147)."""
+    """Generate one labelled instance (data/generators.py:97-147).
+
+    ``noise_probability`` is a LEGACY no-op kept for reference signature
+    parity (the reference documents it as "if implemented",
+    data/generators.py:111); label noise is controlled by
+    ``dual_noise_prob``/``noise_std`` instead.
+    """
     if family not in FAMILIES:
         raise KeyError(f"Unknown family '{family}'. Known: {sorted(FAMILIES)}")
     rng = rng or np.random.default_rng(0)

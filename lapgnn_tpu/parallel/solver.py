@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import functools
 import re
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -144,7 +143,20 @@ def make_sharded_pipeline(
     return run
 
 
-_GATHER_RE = re.compile(r"all-gather[^=]*=\s*\S+\[([0-9,]+)\]")
+# Match only collective DEFINITIONS, anchored per line: the old pattern's
+# [^=]* ran across newlines, so a bare operand *reference* to an all-gather
+# at end-of-line made it capture the NEXT instruction's shape (flaky false
+# positives), and tuple-typed async starts yielded the input shard instead
+# of the gathered output.  The guard also covers all-reduce / all-to-all /
+# collective-permute: GSPMD resharding does not always lower to all-gather,
+# and an O(n^2) all-reduce breaks the contract just as badly.
+_COLLECTIVE_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?(?:all-gather|all-reduce|all-to-all|collective-permute)"
+    r"[^\n=]*=\s*(\(?[^)\n]*\)?)\s*(?:all-gather|all-reduce|all-to-all|"
+    r"collective-permute)",
+    re.M,
+)
+_SHAPE_RE = re.compile(r"\[([0-9,]+)\]")
 
 
 def assert_no_matrix_allgather(compiled, n: int, shards: int) -> None:
@@ -157,14 +169,17 @@ def assert_no_matrix_allgather(compiled, n: int, shards: int) -> None:
     """
     text = compiled.as_text()
     limit = max(8 * n, (n * n // shards) // 4)
-    for m in _GATHER_RE.finditer(text):
-        shape = [int(s) for s in m.group(1).split(",") if s]
-        size = 1
-        for s in shape:
-            size *= s
-        if size > limit:
-            raise AssertionError(
-                f"compiled sharded solve all-gathers a {shape} operand "
-                f"({size} elements > limit {limit}); the matrix is being "
-                "replicated instead of partitioned"
-            )
+    for m in _COLLECTIVE_RE.finditer(text):
+        # Tuple-shaped async ops list several shapes; the largest element is
+        # the one the collective moves.
+        for sm in _SHAPE_RE.finditer(m.group(1)):
+            shape = [int(s) for s in sm.group(1).split(",") if s]
+            size = 1
+            for s in shape:
+                size *= s
+            if size > limit:
+                raise AssertionError(
+                    f"compiled sharded solve moves a {shape} operand through "
+                    f"a collective ({size} elements > limit {limit}); the "
+                    "matrix is being replicated instead of partitioned"
+                )
