@@ -23,12 +23,22 @@ def time_rigorous(
     repeats: int = 30,
     block: Optional[Callable[[Any], Any]] = None,
 ) -> Dict[str, Any]:
-    """Time ``fn`` with warmups + repeats; returns stats dict in seconds."""
-    try:
-        for _ in range(warmups):
+    """Time ``fn`` with warmups + repeats; returns stats dict in seconds.
+
+    Warmup exceptions are swallowed (the reference does the same,
+    timing.py:30-34 — a lazy one-time init may fail once and then work);
+    failures during the TIMED repeats mark the measurement unsuccessful.
+    """
+    if repeats < 1:
+        raise ValueError("repeats must be >= 1")
+    for _ in range(warmups):
+        try:
             out = fn()
             if block is not None:
                 block(out)
+        except Exception:
+            pass
+    try:
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -41,7 +51,8 @@ def time_rigorous(
             "success": True,
             "median": float(np.median(arr)),
             "mean": float(arr.mean()),
-            "std": float(arr.std()),
+            # sample std (ddof=1) to match the reference's statistics.stdev
+            "std": float(arr.std(ddof=1)) if len(arr) > 1 else 0.0,
             "min": float(arr.min()),
             "max": float(arr.max()),
             "repeats": repeats,

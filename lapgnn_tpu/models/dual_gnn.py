@@ -170,6 +170,10 @@ class DualGNN(nn.Module):
     ) -> dict:
         if edge_feat.ndim != 4:
             raise ValueError("edge_feat must be (batch, n, n, F)")
+        if self.layers <= 0:
+            # reference dual_gnn.py:155-156 — encoder-only output would be
+            # near-useless duals surfacing only as a 100% fallback rate.
+            raise ValueError("DualGNN requires layers >= 1")
 
         def encode(x, name):
             h = nn.Dense(self.hidden_dim, name=f"{name}_fc")(x)

@@ -301,13 +301,12 @@ def _axis_stats(C: jnp.ndarray, axis: int):
     mx = jnp.max(C, axis=axis)
     mean = jnp.mean(C, axis=axis)
     std = jnp.std(C, axis=axis)
-    med = _median_from_sorted(jnp.sort(jnp.moveaxis(C, axis, -1), axis=-1))
-    if axis in (-1, C.ndim - 1):
-        dev = jnp.abs(C - med[..., :, None])
-    else:
-        dev = jnp.abs(C - med[..., None, :])
-    mad = _median_from_sorted(jnp.sort(jnp.moveaxis(dev, axis, -1), axis=-1))
-    mad = jnp.maximum(mad, EPS)
+    sorted_vals = jnp.sort(jnp.moveaxis(C, axis, -1), axis=-1)
+    med = _median_from_sorted(sorted_vals)
+    # MAD via merged-halves selection from the SAME sort — the second full
+    # sort was the most expensive op of the DualGNN feature pass (same
+    # optimization row_features already applies).
+    mad = jnp.maximum(_mad_from_sorted(sorted_vals, med), EPS)
     ent = _entropy(C, axis=axis)
     return mn, mx, mean, std, med, mad, ent
 

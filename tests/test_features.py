@@ -124,3 +124,69 @@ def test_row_ranks_channel(rng):
     # Each row's ranks are a permutation of {0, 1/(n-1), ..., 1}.
     for i in range(12):
         np.testing.assert_allclose(np.sort(rr[i]), np.arange(12) / 11, atol=1e-6)
+
+
+def test_graph_features_channel_values_vs_numpy_oracle(rng):
+    """Pin every node/edge channel of graph_features to an independent NumPy
+    oracle — shape/symmetry tests alone would let a channel swap or rescale
+    ship silently and break reference-checkpoint compatibility."""
+    from lapgnn_tpu.ops.features import (
+        EPS,
+        POS_FREQS,
+        TAU,
+        graph_features,
+        positional_encodings,
+    )
+
+    n = 17  # odd: exercises single-rank medians
+    C = FAMILIES["uniform"](n, rng).astype(np.float32)
+    C[:, 3] = C[:, 4]  # ties
+    gf = graph_features(jnp.asarray(C))
+
+    Cd = C.astype(np.float64)
+
+    def axis_stats(A, axis):
+        med = np.median(A, axis=axis)
+        dev = np.abs(A - np.expand_dims(med, axis))
+        mad = np.maximum(np.median(dev, axis=axis), EPS)
+        sh = A - A.min(axis=axis, keepdims=True)
+        e = np.exp(-sh)
+        p = e / (e.sum(axis=axis, keepdims=True) + EPS)
+        ent = -(p * np.log(p + EPS)).sum(axis=axis)
+        return (A.min(axis=axis), A.max(axis=axis), A.mean(axis=axis),
+                A.std(axis=axis), med, mad, ent)
+
+    r = axis_stats(Cd, 1)
+    c = axis_stats(Cd, 0)
+    row_ref = np.stack(r[:4] + (r[5], r[6]), axis=-1)  # min,max,mean,std,mad,ent
+    col_ref = np.stack(c[:4] + (c[5], c[6]), axis=-1)
+    np.testing.assert_allclose(np.asarray(gf.row_feat)[:, :6], row_ref, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gf.col_feat)[:, :6], col_ref, atol=5e-5)
+    pos = np.asarray(positional_encodings(n))
+    np.testing.assert_allclose(np.asarray(gf.row_feat)[:, 6:], pos, atol=1e-6)
+
+    ef = np.asarray(gf.edge_feat)
+    np.testing.assert_allclose(
+        ef[..., 0], (Cd - r[4][:, None]) / r[5][:, None], atol=5e-4
+    )
+    # normalized ranks via double argsort
+    def ranks(A, axis):
+        order = np.argsort(A, axis=axis, kind="stable")
+        rk = np.empty_like(order)
+        np.put_along_axis(rk, order, np.arange(A.shape[axis]).reshape(
+            (-1, 1) if axis == 0 else (1, -1)) * np.ones_like(order), axis=axis)
+        return rk / max(1, A.shape[axis] - 1)
+    np.testing.assert_allclose(ef[..., 3], Cd - r[0][:, None], atol=5e-5)  # row gap
+    np.testing.assert_allclose(ef[..., 4], Cd - c[0][None, :], atol=5e-5)  # col gap
+    row_tie = ((Cd - r[0][:, None]) <= TAU).sum(axis=1) / n
+    col_tie = ((Cd - c[0][None, :]) <= TAU).sum(axis=0) / n
+    np.testing.assert_allclose(ef[..., 5], np.repeat(row_tie[:, None], n, 1), atol=1e-6)
+    np.testing.assert_allclose(ef[..., 6], np.repeat(col_tie[None, :], n, 0), atol=1e-6)
+    np.testing.assert_allclose(ef[..., 7], np.repeat(r[6][:, None], n, 1), atol=5e-5)
+    np.testing.assert_allclose(ef[..., 8], np.repeat(c[6][None, :], n, 0), atol=5e-5)
+    np.testing.assert_allclose(ef[..., 9], 0.0, atol=0)  # reduced: zeros w/o u
+    # rank channels: values in [0,1], each row/col a permutation of k/(n-1)
+    expect = np.arange(n) / (n - 1)
+    for i in range(n):
+        np.testing.assert_allclose(np.sort(ef[i, :, 1]), expect, atol=1e-6)
+        np.testing.assert_allclose(np.sort(ef[:, i, 2]), expect, atol=1e-6)
