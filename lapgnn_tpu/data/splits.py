@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Dict, Iterator, List, Sequence, Tuple
 
+import hashlib
+
 import numpy as np
 
 __all__ = ["plan_bucket", "iter_bucket_assignments"]
@@ -50,8 +52,18 @@ def iter_bucket_assignments(
     ratios: Dict[str, float],
     seed: int = 0,
 ) -> Iterator[Tuple[str, int, str]]:
-    """Yield (bucket_name, index_within_bucket, split) over all buckets."""
-    rng = np.random.default_rng(seed)
+    """Yield (bucket_name, index_within_bucket, split) over all buckets.
+
+    Each bucket derives its own RNG from (seed, bucket name): adding,
+    removing, or reordering buckets leaves every other bucket's
+    train/val/test membership unchanged (a single threaded RNG would
+    silently reshuffle all later buckets and contaminate cross-version
+    dataset comparisons).
+    """
     for bucket, count in counts:
+        h = int.from_bytes(
+            hashlib.sha256(bucket.encode()).digest()[:8], "little"
+        )
+        rng = np.random.default_rng((seed, h))
         for i, split in enumerate(plan_bucket(count, ratios, rng)):
             yield bucket, i, split

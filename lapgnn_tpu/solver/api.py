@@ -195,9 +195,14 @@ class LAPMODSolver(_Base):
             )
             cost *= scale
         except NativeSolveError:
-            Cm = np.where(
-                ~np.isfinite(C) | (C >= self.forbidden_threshold), self.sentinel, C
-            )
+            # The forbidden sentinel must EXCEED every allowed finite cost —
+            # a fixed 1e6 undercuts instances whose real costs are larger,
+            # inverting the ordering so the dense fallback prefers forbidden
+            # edges (confirmed: 3 forbidden edges used where 1 sufficed).
+            allowed = np.isfinite(C) & (C < self.forbidden_threshold)
+            vmax_allowed = float(C[allowed].max()) if allowed.any() else 0.0
+            sentinel = max(self.sentinel, 1e3 * max(1.0, abs(vmax_allowed)))
+            Cm = np.where(allowed, C, sentinel)
             x, _, cost = lapjv_native(Cm)
         return np.arange(n), np.asarray(x, np.int64), cost
 

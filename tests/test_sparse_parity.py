@@ -111,3 +111,24 @@ def test_golden_sparse_large(n, keep, seed):
     opt = _scipy_opt(dense)
     _, _, cost = native.lapmod_native(n, row_ptr, col_idx, values, fp_version=FP_DYNAMIC)
     assert cost == pytest.approx(opt, rel=1e-12)
+
+
+def test_lapmod_solver_fallback_sentinel_above_real_costs():
+    """Infeasible sparse instance with finite costs ABOVE 1e6: the dense
+    fallback's forbidden sentinel must exceed them, or the solve prefers
+    forbidden edges (confirmed inversion pre-fix: 3 forbidden edges used
+    where 1 sufficed)."""
+    from lapgnn_tpu.solver.api import LAPMODSolver
+
+    C = np.array(
+        [
+            [2e6, np.inf, np.inf],
+            [3e6, np.inf, np.inf],
+            [np.inf, 2.5e6, np.inf],
+        ]
+    )
+    rows, cols, cost = LAPMODSolver(forbidden_threshold=np.inf).solve(C)
+    # Only one forbidden edge is unavoidable: rows 0/1 share the single
+    # allowed column 0, so exactly one of them must take a forbidden edge.
+    n_forbidden = sum(1 for i, j in zip(rows, cols) if not np.isfinite(C[i, j]))
+    assert n_forbidden == 1
