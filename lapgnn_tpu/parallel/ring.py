@@ -42,22 +42,26 @@ def _ring_min_body(x, axis: str):
 
 
 def ring_all_reduce_min(mesh: Mesh, axis: str = "model"):
-    """Build f(x_sharded) -> replicated elementwise min across ``axis``.
+    """Build f(partials) -> replicated elementwise min across ``axis``.
 
-    Input spec P(axis, ...) is NOT required — the reduction is over the mesh
-    axis for whatever local block each shard holds; use with locally reduced
-    partials (e.g. each shard's local column-min).
+    ``partials`` has the per-shard partials stacked on the LEADING dimension
+    (shape (mesh[axis], ...)); that dimension is partitioned over ``axis``
+    so each device contributes ITS partial to the ring.  (The previous
+    in_specs=(P(),) replicated the whole stack to every device, making the
+    ring an expensive identity — every device ring-combined size-1 copies
+    of the same global array.)
     """
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(),),
+        in_specs=(P(axis),),
         out_specs=P(),
         check_vma=False,
     )
     def _reduce(x):
-        return _ring_min_body(x, axis)
+        # each shard's block is (1, ...) — its own partial
+        return _ring_min_body(x[0], axis)
 
     return _reduce
 

@@ -124,12 +124,33 @@ def convert_checkpoint(path) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     if isinstance(blob, dict) and "model_state_dict" in blob:
         sd = blob["model_state_dict"]
         cfg = blob.get("config", {}) or {}
-        model_cfg = cfg.get("model", {}) if isinstance(cfg, dict) else {}
-        arch = blob.get("architecture") or model_cfg.get("architecture", "one_gnn")
-        hidden = int(blob.get("hidden_dim") or model_cfg.get("hidden", 64))
-        layers = int(blob.get("layers") or model_cfg.get("layers", 2))
-        heads = int(blob.get("heads") or model_cfg.get("heads", 4))
-        dropout = float(blob.get("dropout") or model_cfg.get("dropout", 0.1))
+        # Progressive checkpoints store the MODEL section directly under
+        # 'config' with 'hidden_dim'/'layers' keys
+        # (train_progressive_clean.py:601-633); other schemas may nest a
+        # 'model' sub-dict.  Accept both shapes and both key spellings.
+        model_cfg = cfg.get("model", cfg) if isinstance(cfg, dict) else {}
+
+        def pick(*keys, default=None):
+            for container in (blob, model_cfg):
+                for k in keys:
+                    v = container.get(k)
+                    if v is not None:
+                        return v
+            return default
+
+        arch = pick("architecture")
+        if arch is None:
+            # Reference DualGNN checkpoints carry NO architecture tag
+            # (train.py:405-415); sniff the state dict like the reference
+            # does (gnn_benchmark.py:84): DualGNN has bipartite layer keys.
+            is_dual = any(k.startswith("layers.0.attn") for k in sd)
+            arch = "dual_gnn" if is_dual else "one_gnn"
+        hidden = int(pick("hidden_dim", "hidden", default=64))
+        layers = int(pick("layers", default=2))
+        heads = int(pick("heads", default=4))
+        # plain is-None checks: dropout=0.0 is a real value, `or` would
+        # silently resurrect the 0.1 default
+        dropout = float(pick("dropout", default=0.1))
     else:  # bare state_dict
         sd = blob
         arch, hidden, layers, heads, dropout = "one_gnn", 64, 2, 4, 0.1

@@ -37,10 +37,17 @@ class StageProfiler:
             yield box
         finally:
             if "out" in box:
-                # Materialize to host: on remote-attached platforms
-                # block_until_ready can return before execution finishes;
-                # only the D2H readback is a reliable sync point.
-                jax.tree_util.tree_map(np.asarray, box["out"])
+                # Sync via a SCALAR D2H readback: on remote-attached
+                # platforms block_until_ready can return early, and
+                # materialising the full output would add a matrix-sized
+                # D2H transfer INSIDE the timed region (~1 GB at n=16K).
+                def _sync(leaf):
+                    arr = jnp.asarray(leaf)
+                    np.asarray(arr.ravel()[-1:]) if arr.size else None
+
+                import jax.numpy as jnp
+
+                jax.tree_util.tree_map(_sync, box["out"])
             self.stages.setdefault(name, []).append(time.perf_counter() - t0)
 
     def summary_ms(self) -> Dict[str, float]:
@@ -61,14 +68,36 @@ def profile_pipeline(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.dual import min_trick_v
-    from ..ops.features import row_features
+    from ..ops.dual import fast_min_trick, robust_normalize
+    from ..ops.features import fast_row_features
 
     model, params = pipe.model, pipe.params
 
-    feats_fn = jax.jit(row_features)
-    apply_fn = jax.jit(lambda p, f, c: model.apply(p, f, cost=c))
-    mt_fn = jax.jit(min_trick_v)
+    # Profile the stages the PRODUCTION predict actually runs
+    # (pipeline.predict_duals_fn): robust normalization, features on the
+    # normalized cost, model with the pipe's refinement setting, affine
+    # dual map-back, rank-1 candidate + selection under seed_mode='auto',
+    # and the routed fast_min_trick — a raw-C re-implementation would time
+    # out-of-distribution seeds the pipeline never produces.
+    normalize = getattr(pipe, "seed_mode", "auto") != "rank1"
+    use_cost = True
+
+    @jax.jit
+    def norm_fn(c):
+        return robust_normalize(c)
+
+    feats_fn = jax.jit(fast_row_features)
+    apply_fn = jax.jit(
+        lambda p, f, c: model.apply(p, f, cost=c)
+    )
+    mt_fn = jax.jit(fast_min_trick)
+
+    from ..ops.rank1 import rank1_duals, select_best_seed
+
+    @jax.jit
+    def seed_select_fn(c, u):
+        u_r1, _ = rank1_duals(c)
+        return select_best_seed(c, (u, u_r1))
 
     prof = StageProfiler()
     C = np.asarray(C, np.float32)
@@ -79,15 +108,26 @@ def profile_pipeline(
         with prof.stage("data_to_device") as box:
             Cd = jnp.asarray(C)
             box["out"] = Cd
+        with prof.stage("normalize") as box:
+            if normalize:
+                C_in, mn, a = norm_fn(Cd)
+            else:
+                C_in, mn, a = Cd, None, None
+            box["out"] = C_in
         with prof.stage("feature_compute") as box:
-            feats = feats_fn(Cd)
+            feats = feats_fn(C_in)
             box["out"] = feats
         with prof.stage("gnn_inference") as box:
-            preds = apply_fn(params, feats, Cd)
+            preds = apply_fn(params, feats, C_in if use_cost else None)
             box["out"] = preds
         u = preds["u"].astype(Cd.dtype)
+        if normalize:
+            u = u * a[..., None] + mn[..., None]
         with prof.stage("v_compute") as box:
-            v = mt_fn(Cd, u)
+            if getattr(pipe, "seed_mode", "auto") == "auto":
+                u, v = seed_select_fn(Cd, u)
+            else:
+                v = mt_fn(Cd, u)
             box["out"] = v
         with prof.stage("seeded_solve") as box:
             if pipe.mode == "device":
@@ -118,7 +158,8 @@ def profile_pipeline(
 
     out = prof.summary_ms()
     out["gnn_overhead_ms"] = (
-        out.get("feature_compute", 0.0)
+        out.get("normalize", 0.0)
+        + out.get("feature_compute", 0.0)
         + out.get("gnn_inference", 0.0)
         + out.get("v_compute", 0.0)
     )

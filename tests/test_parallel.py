@@ -109,27 +109,16 @@ def test_dp_train_step_runs_and_matches_replicated(rng):
 
 @requires_8
 def test_ring_all_reduce_min_matches_pmin(rng):
+    """The PUBLIC builder combines per-shard partials (leading dim sharded
+    over the mesh axis) — previously its in_specs replicated the stack and
+    the ring was an expensive identity, so tests had to bypass it."""
     from lapgnn_tpu.parallel.ring import ring_all_reduce_min
 
     mesh = make_mesh(data=1, model=8)
-    x = rng.normal(0, 1, (8, 16))  # one row per shard after sharding P()?
-    # Use per-shard distinct data: shard over the leading axis explicitly.
-    import jax.numpy as jnp
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-    import functools
-
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P("model", None),), out_specs=P(),
-        check_vma=False,
-    )
-    def local_then_ring(blk):
-        from lapgnn_tpu.parallel.ring import _ring_min_body
-
-        return _ring_min_body(blk[0], "model")
-
+    x = rng.normal(0, 1, (8, 16))  # partials: one leading row per shard
+    reduce_min = ring_all_reduce_min(mesh)
     with mesh:
-        got = local_then_ring(jnp.asarray(x))
+        got = reduce_min(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), x.min(axis=0), atol=1e-12)
 
 

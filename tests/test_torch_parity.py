@@ -209,3 +209,41 @@ def test_convert_bare_state_dict(tmp_path):
     torch.save(tm.state_dict(), path)
     params, meta = convert_checkpoint(path)
     assert meta["hidden"] == 64 and "block_1" in params["params"]
+
+
+def test_convert_untagged_dual_gnn_and_progressive_config(tmp_path):
+    """Reference DualGNN checkpoints carry NO architecture tag
+    (train.py:405-415) and progressive checkpoints store the model section
+    directly under 'config' with 'hidden_dim' keys — both previously
+    misrouted (DualGNN -> KeyError as OneGNN; progressive -> silent 64/2
+    defaults dropping layers). dropout=0.0 must also survive (falsy-zero)."""
+    from gnn.dual_gnn import DualGNN as TorchDualGNN
+    from gnn.one_gnn import OneGNN as TorchOneGNN
+
+    from lapgnn_tpu.train.convert_torch import convert_checkpoint
+
+    # untagged DualGNN (reference schema)
+    dm = TorchDualGNN(hidden_dim=32, layers=2, heads=4, dropout=0.0)
+    path = tmp_path / "dual_untagged.pt"
+    torch.save(
+        {"model_state_dict": dm.state_dict(), "hidden_dim": 32,
+         "layers": 2, "heads": 4, "dropout": 0.0},
+        path,
+    )
+    params, meta = convert_checkpoint(path)
+    assert meta["architecture"] == "dual_gnn"
+    assert meta["dropout"] == 0.0
+    assert "layer_1" in params["params"]
+
+    # progressive schema: config IS the model section, hidden_dim spelling
+    tm = TorchOneGNN(in_dim=21, hidden=48, layers=3, dropout=0.0, topk=8)
+    path2 = tmp_path / "progressive.pt"
+    torch.save(
+        {"model_state_dict": tm.state_dict(),
+         "config": {"hidden_dim": 48, "layers": 3, "dropout": 0.0}},
+        path2,
+    )
+    params2, meta2 = convert_checkpoint(path2)
+    assert meta2["hidden"] == 48 and meta2["layers"] == 3
+    assert meta2["dropout"] == 0.0
+    assert "block_2" in params2["params"]
