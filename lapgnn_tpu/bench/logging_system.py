@@ -49,9 +49,13 @@ _ENV_KEYS = [
 def _capture_env() -> Dict[str, Any]:
     env = {k: os.environ.get(k) for k in _ENV_KEYS}
     versions: Dict[str, str] = {"python": platform.python_version()}
+    import importlib.metadata as _md
+
     for mod in ("numpy", "scipy", "jax", "flax", "optax"):
         try:
-            versions[mod] = __import__(mod).__version__
+            # metadata lookup, not __import__: the solver-only benchmarks
+            # deliberately avoid initialising the JAX stack.
+            versions[mod] = _md.version(mod)
         except Exception:
             versions[mod] = "unavailable"
     return {
@@ -134,6 +138,8 @@ class BenchmarkLogger:
         if not base:
             return {}
         base_t = base[-1]["median_s"]
+        if not base_t:  # failed/zero baseline measurement: no valid ratios
+            return {}
         out = {}
         for r in self._rows:
             if r["family"] == family and r["n"] == n and r["median_s"]:
@@ -172,5 +178,9 @@ class BenchmarkLogger:
 
     @staticmethod
     def get_latest_experiment(root: str | Path = "logs") -> Optional[Dict[str, Any]]:
-        ids = BenchmarkLogger.list_experiments(root)
-        return BenchmarkLogger.load_experiment(ids[-1], root) if ids else None
+        # By mtime, NOT lexicographic id: ids are name-prefixed before the
+        # timestamp, so sorted() would return e.g. the older
+        # 'main_benchmark_...' over a newer 'gnn_benchmark_...'.
+        d = Path(root) / "experiments"
+        files = sorted(d.glob("*.json"), key=lambda p: p.stat().st_mtime) if d.exists() else []
+        return BenchmarkLogger.load_experiment(files[-1].stem, root) if files else None

@@ -24,15 +24,15 @@ import numpy as np
 
 
 def _time(fn, repeats: int = 5, warmups: int = 1) -> float:
-    for _ in range(warmups):
-        fn()
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    """Median seconds via the shared rigorous harness (one timing
+    methodology across all benchmarks; raises on failed measurements so a
+    broken solver is loud in the regression grid)."""
+    from .harness import time_rigorous
+
+    stats = time_rigorous(fn, warmups=warmups, repeats=repeats)
+    if not stats["success"]:
+        raise RuntimeError(f"measurement failed: {stats.get('error')}")
+    return stats["median"]
 
 
 def run_regression(sizes, families, repeats=5, include_device=False, seed=0):
@@ -130,10 +130,12 @@ def run_real(files, repeats=5):
         )
         cell["lapx_seeded_oracle_ms"] = round(t_seed * 1e3, 3)
         cell["seeded_vs_scipy"] = round(t_scipy / t_seed, 3)
-        # Exactness gate.
+        # Exactness gate (explicit raise: a bare assert vanishes under -O).
         _, _, c_cold = native.lapjv_native(C)
         r, cc = scipy.optimize.linear_sum_assignment(C)
-        assert abs(c_cold - float(C[r, cc].sum())) < 1e-9 * max(1.0, abs(c_cold))
+        opt = float(C[r, cc].sum())
+        if not (abs(c_cold - opt) < 1e-9 * max(1.0, abs(c_cold))):
+            raise RuntimeError(f"exactness violated on {inst.name}: {c_cold} vs {opt}")
         out[inst.name] = cell
     return out
 

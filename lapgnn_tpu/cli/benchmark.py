@@ -55,7 +55,11 @@ def main(argv=None) -> None:
     from ..ops.host_dual import oracle_duals_np
 
     pipe = None
-    if args.checkpoint and args.checkpoint.exists():
+    if args.checkpoint and not args.checkpoint.exists():
+        # A typo'd checkpoint must NOT silently fall back to the zero-seed
+        # baseline and log it as 'warm_pipeline' speedups.
+        raise FileNotFoundError(f"checkpoint not found: {args.checkpoint}")
+    if args.checkpoint:
         from ..pipeline import WarmStartPipeline
         from ..train.checkpoint import build_model_from_meta, load_checkpoint
 
@@ -77,14 +81,17 @@ def main(argv=None) -> None:
         for n in args.sizes:
             for k in range(args.instances):
                 C = FAMILIES[fam](n, rng)
-                r, c = scipy.optimize.linear_sum_assignment(C)
-                opt = float(C[r, c].sum())
 
                 s_scipy = time_rigorous(
                     lambda: scipy.optimize.linear_sum_assignment(C),
                     args.warmups,
                     args.repeats,
                 )
+                if not s_scipy["success"]:
+                    print(f"# scipy failed on {fam} n={n}: {s_scipy.get('error')}")
+                    continue
+                r, c = s_scipy["result"]  # reuse the timed solve's result
+                opt = float(C[r, c].sum())
                 logger.log_result("scipy", fam, n, s_scipy, cost=opt)
 
                 s_cold = time_rigorous(lambda: lapjv_native(C), args.warmups, args.repeats)
@@ -104,14 +111,27 @@ def main(argv=None) -> None:
                         u, v = np.zeros(n), np.zeros(n)
                     fn = lambda: lapjv_seeded_native(C, u, v)
                 s_pipe = time_rigorous(fn, args.warmups, args.repeats)
+                if not s_pipe["success"]:
+                    # Surface the failure — silently dropping it makes a run
+                    # where every solve failed look like it measured nothing.
+                    print(
+                        f"# warm_pipeline FAILED on {fam} n={n} #{k}: "
+                        f"{s_pipe.get('error')}"
+                    )
+                    logger.log_result("warm_pipeline", fam, n, s_pipe)
                 if s_pipe["success"]:
                     res = s_pipe["result"]
                     got = float(res["cost"][0]) if isinstance(res, dict) else float(res[2])
-                    assert abs(got - opt) < 1e-3 * max(1.0, abs(opt)), (
-                        f"optimality violated: {got} vs {opt}"
-                    )
+                    if not (abs(got - opt) < 1e-3 * max(1.0, abs(opt))):
+                        # explicit raise (a bare assert vanishes under -O)
+                        raise RuntimeError(
+                            f"optimality violated: {got} vs {opt} ({fam} n={n})"
+                        )
                     sp_scipy = s_scipy["median"] / s_pipe["median"]
-                    sp_cold = s_cold["median"] / s_pipe["median"]
+                    sp_cold = (
+                        s_cold["median"] / s_pipe["median"]
+                        if s_cold["success"] else float("nan")
+                    )
                     logger.log_result(
                         "warm_pipeline", fam, n, s_pipe, cost=got, speedup=sp_scipy,
                         notes=f"vs_cold={sp_cold:.3f}",
@@ -125,14 +145,16 @@ def main(argv=None) -> None:
                         f"speedup={sp_scipy:.2f}x (vs cold {sp_cold:.2f}x)"
                     )
 
-    if summary_rows:
-        sp = [row["speedup_vs_scipy"] for row in summary_rows]
-        summary = {
-            "mean_speedup_vs_scipy": float(np.mean(sp)),
-            "median_speedup_vs_scipy": float(np.median(sp)),
-        }
-        logger.finalize(summary)
-        print(json.dumps(summary))
+    sp = [row["speedup_vs_scipy"] for row in summary_rows]
+    summary = {
+        "mean_speedup_vs_scipy": float(np.mean(sp)) if sp else None,
+        "median_speedup_vs_scipy": float(np.median(sp)) if sp else None,
+        "measured_instances": len(sp),
+    }
+    # finalize unconditionally: a run where every solve failed must still
+    # write the experiment JSON (with the failure rows) for post-mortem.
+    logger.finalize(summary)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -87,6 +87,13 @@ def main(argv=None) -> None:
         s_seed = time_rigorous(
             lambda: lapjv_seeded_native(C, u, v), args.warmups, args.repeats
         )
+        if not (s_scipy["success"] and s_cold["success"] and s_seed["success"]):
+            # graceful-degradation contract: a failed measurement has no
+            # 'median' key; log what we have and keep going.
+            for nm, st in (("scipy", s_scipy), ("lap_cold", s_cold), ("seeded", s_seed)):
+                logger.log_result(nm, name, n, st)
+            print(f"# {name} n={n}: measurement failed, skipping row")
+            continue
         sp_scipy = s_scipy["median"] / s_seed["median"]
         sp_cold = s_cold["median"] / s_seed["median"]
         logger.log_result("scipy", name, n, s_scipy)

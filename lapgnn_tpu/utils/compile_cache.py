@@ -51,7 +51,22 @@ def enable_persistent_cache(path: Optional[str] = None) -> str:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _ENABLED = True
-    return cache_dir
+        return cache_dir
+    # Already enabled: honor the contract 'returns the cache directory in
+    # use' — an explicit new path on a later call cannot take effect (the
+    # pipeline enables the default at construction) and silently returning
+    # it would mislead the caller about where compiles land.
+    current = str(jax.config.jax_compilation_cache_dir)
+    if path is not None and str(Path(path).expanduser()) != current:
+        import warnings
+
+        warnings.warn(
+            f"persistent compile cache already enabled at {current}; "
+            f"ignoring new path {path}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return current
 
 
 def aot_compile(fn, *example_args, **jit_kwargs):
