@@ -117,22 +117,29 @@ class _PathState(NamedTuple):
     steps: jnp.ndarray    # scalar int32 iteration counter (safety bound)
 
 
-def _find_augmenting_path(
-    C: jnp.ndarray, free_row: jnp.ndarray, row_of_col: jnp.ndarray, v: jnp.ndarray
+def _dijkstra_to_free_col(
+    C: jnp.ndarray,
+    row_of_col: jnp.ndarray,
+    v: jnp.ndarray,
+    d0: jnp.ndarray,
+    pred0: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dijkstra from ``free_row`` to the nearest free column.
+    """Shared Dijkstra core: from initial column distances ``d0`` (any
+    source layer — one free row or a virtual multi-source), pop the
+    unscanned column with minimal d; if free we are done, otherwise relax
+    through its matched row.  Ends with the classical READY-set dual update
+    (lapjv.cpp:221-282).  Returns (final_j, pred, v_updated).
 
-    Equivalent in effect to find_path_dense (lapjv.cpp:221-282) but written as
-    plain Dijkstra: pop the unscanned column with minimal d; if it is free we
-    are done, otherwise relax all unscanned columns through its matched row.
-    Returns (final_j, pred, v_updated).
+    One body serves both the single-source and multi-source searches — they
+    previously duplicated this loop verbatim, so a relaxation fix had to be
+    applied twice.
     """
     n = C.shape[-1]
     inf = jnp.asarray(jnp.inf, C.dtype)
 
     init = _PathState(
-        d=C[free_row] - v,
-        pred=jnp.full((n,), free_row, INT),
+        d=d0,
+        pred=pred0,
         scanned=jnp.zeros((n,), jnp.bool_),
         final_j=jnp.asarray(-1, INT),
         mind=jnp.asarray(0, C.dtype),
@@ -168,6 +175,19 @@ def _find_augmenting_path(
     # Dual update on the READY set (lapjv.cpp:270-276): v[j] += d[j] - mind.
     v_new = jnp.where(s.scanned, v + s.d - s.mind, v)
     return s.final_j, s.pred, v_new
+
+
+def _find_augmenting_path(
+    C: jnp.ndarray, free_row: jnp.ndarray, row_of_col: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dijkstra from ``free_row`` to the nearest free column
+    (find_path_dense, lapjv.cpp:221-282)."""
+    n = C.shape[-1]
+    return _dijkstra_to_free_col(
+        C, row_of_col, v,
+        d0=C[free_row] - v,
+        pred0=jnp.full((n,), free_row, INT),
+    )
 
 
 def _flip_along_path(
@@ -253,15 +273,6 @@ def augment_all(C: jnp.ndarray, m: Matching) -> Matching:
     )
 
 
-class _MSDState(NamedTuple):
-    d: jnp.ndarray
-    pred: jnp.ndarray
-    scanned: jnp.ndarray
-    final_j: jnp.ndarray
-    mind: jnp.ndarray
-    steps: jnp.ndarray
-
-
 def _multisource_path(
     C: jnp.ndarray, free_row: jnp.ndarray, row_of_col: jnp.ndarray, v: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -283,41 +294,7 @@ def _multisource_path(
     d0 = jnp.min(norm, axis=0)
     pred0 = jnp.argmin(norm, axis=0).astype(INT)
 
-    init = _MSDState(
-        d=d0,
-        pred=pred0,
-        scanned=jnp.zeros((n,), jnp.bool_),
-        final_j=jnp.asarray(-1, INT),
-        mind=jnp.asarray(0, C.dtype),
-        steps=jnp.asarray(0, INT),
-    )
-
-    def cond(s: _MSDState):
-        return (s.final_j < 0) & (s.steps <= n)
-
-    def body(s: _MSDState) -> _MSDState:
-        d_open = jnp.where(s.scanned, inf, s.d)
-        j = jnp.argmin(d_open).astype(INT)
-        mind = d_open[j]
-        i = row_of_col[j]
-
-        def on_free(s):
-            return s._replace(final_j=j, mind=mind, steps=s.steps + 1)
-
-        def on_matched(s):
-            scanned = s.scanned.at[j].set(True)
-            h = C[i, j] - v[j] - mind
-            cand = C[i] - v - h
-            improve = (~scanned) & (cand < s.d)
-            d = jnp.where(improve, cand, s.d)
-            pred = jnp.where(improve, i, s.pred)
-            return _MSDState(d, pred, scanned, s.final_j, mind, s.steps + 1)
-
-        return lax.cond(i < 0, on_free, on_matched, s)
-
-    s = lax.while_loop(cond, body, init)
-    v_new = jnp.where(s.scanned, v + s.d - s.mind, v)
-    return s.final_j, s.pred, v_new
+    return _dijkstra_to_free_col(C, row_of_col, v, d0=d0, pred0=pred0)
 
 
 def _flip_to_source(
