@@ -75,6 +75,7 @@ def main(argv=None) -> None:
 
     results = {}
     base_rate = None
+    base_m = None
     n_dev = len(jax.devices())
     for m in args.meshes:
         if m > n_dev or n % m != 0:
@@ -82,19 +83,28 @@ def main(argv=None) -> None:
             continue
         mesh = make_mesh(data=1, model=m)
         predict = make_sharded_predict(model, mesh)
+        # Amortise dispatch latency: issue a burst of async calls per timing
+        # and sync ONCE at the end — on the remote-attached platform a
+        # per-call blocking readback (tens of ms) would otherwise dominate
+        # the measurement and collapse efficiency toward 1/m regardless of
+        # actual scaling.
+        burst = max(1, int(2e8 // max(1, edges)))
         with mesh:
             u, v = predict(params, Cd)
             np.asarray(v)  # true sync
             ts = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
-                u, v = predict(params, Cd)
+                for _ in range(burst):
+                    u, v = predict(params, Cd)
                 np.asarray(v)
-                ts.append(time.perf_counter() - t0)
+                ts.append((time.perf_counter() - t0) / burst)
         rate = edges / min(ts)
         if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * m)
+            base_rate, base_m = rate, m
+        # speedup per added device, against the FIRST measured mesh (which
+        # need not be 1 device): perfect scaling == 1.0 for any --meshes list
+        eff = (rate / base_rate) / (m / base_m)
         results[m] = {
             "edges_per_s": rate,
             "scaling_efficiency": round(eff, 4),
@@ -127,19 +137,35 @@ def main(argv=None) -> None:
 
         @jax.jit
         def run(seed, *a):
-            def body(c, _):
-                # Thread the carry into an operand: defeats loop-invariant
-                # hoisting (the kernel must re-execute every iteration).
-                out = fn(a[0], *[x + c * jnp.float32(1e-30) for x in a[1:]]) \
-                    if len(a) > 1 else fn(a[0] + c * jnp.float32(1e-30))
-                return c * jnp.float32(1.0000001) + jnp.sum(out) * 0, jnp.sum(out)
+            if len(a) > 1:
+                # perturb the cheap O(n) operand, never the matrix
+                def body(c, _):
+                    out = fn(a[0], *[x + c * jnp.float32(1e-30) for x in a[1:]])
+                    return c * jnp.float32(1.0000001) + jnp.sum(out) * 0, jnp.sum(out)
 
-            s, outs = lax.scan(body, seed, None, length=inner)
-            return s + jnp.sum(outs)
+                s, outs = lax.scan(body, seed, None, length=inner)
+                return s + jnp.sum(outs)
+
+            # Single-arg kernels: carry the MATRIX and bump one element per
+            # iteration (scan carries alias buffers, so this is O(1) work).
+            # Adding c*1e-30 to the whole matrix would cost an extra
+            # uncounted read+write pass per iteration — and XLA can fuse
+            # that add into ITS consumers while pallas_call cannot, biasing
+            # the XLA-vs-Pallas routing comparison against Pallas.
+            def body(carry, _):
+                c_mat = carry
+                out = fn(c_mat)
+                c_mat = c_mat.at[(0,) * c_mat.ndim].add(jnp.float32(1e-30))
+                return c_mat, jnp.sum(out)
+
+            cm, outs = lax.scan(body, a[0] + seed * 0, None, length=inner)
+            return jnp.sum(cm.ravel()[:1]) + jnp.sum(outs)
 
         # Device sync MUST be a D2H readback: on this remote-attached
         # platform block_until_ready can return before execution finishes.
-        seeds = iter(jnp.float32(1e-6 * (k + 1)) for k in range(100))
+        import itertools
+
+        seeds = iter(jnp.float32(1e-6 * (k + 1)) for k in itertools.count())
         t = _bench(lambda: float(run(next(seeds), *kargs)), repeats)
         return t / inner
 
@@ -194,14 +220,15 @@ def main(argv=None) -> None:
             from ..solver.seeded import lapjv_seeded_single
 
             solve = jax.jit(functools.partial(lapjv_seeded_single, gate="both"))
-            # GNN-quality synthetic seed: planted-optimum instance.
-            u_p = rngk.uniform(0, 1, nr)
-            v_p = rngk.uniform(0, 1, nr)
-            E = rngk.uniform(0.01, 1.0, (nr, nr))
-            perm = rngk.permutation(nr)
-            E[np.arange(nr), perm] = 0.0
-            Cp = jnp.asarray(u_p[:, None] + v_p[None, :] + E, jnp.float32)
-            u_s = jnp.asarray(u_p + rngk.normal(0, 3e-3, nr), jnp.float32)
+            # GNN-quality synthetic seed: planted-optimum instance
+            # (shared generator, data/generators.py).
+            from ..data.generators import generate_planted_optimum_instance
+
+            Cp_np, u_sn, _, _ = generate_planted_optimum_instance(
+                nr, seed=7, noise=3e-3, dtype=np.float32
+            )
+            Cp = jnp.asarray(Cp_np)
+            u_s = jnp.asarray(u_sn)
             v_s = jnp.min(Cp - u_s[:, None], axis=0)
             # float() forces the D2H readback — the only reliable sync here.
             t_solve = _bench(

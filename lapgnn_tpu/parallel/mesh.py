@@ -4,8 +4,10 @@ The reference has no distributed layer (SURVEY.md §2.7); this module is the
 from-scratch TPU-native one.  Axis conventions:
 
   "data"  - batch data parallelism (instances)
-  "model" - intra-instance partitioning: columns of the cost matrix
-            (the "sequence" axis of this workload — n can reach 16K+)
+  "model" - intra-instance partitioning: ROWS of the cost matrix
+            (the "sequence" axis of this workload — n can reach 16K+;
+            every production consumer shards rows: sharded.py P("data",
+            "model", None), solver.py P("model", None))
   "row"/"col" - optional 2-D tiling of a single giant instance
 
 Built on ``jax.sharding.Mesh`` + ``NamedSharding``; collectives ride ICI when
@@ -44,9 +46,11 @@ def make_mesh(
 
 def batch_sharding(mesh: Mesh, *, shard_n: bool = False) -> NamedSharding:
     """Sharding for a (B, n, n) cost batch: B over 'data', optionally the
-    column axis over 'model' (sequence-parallel analog)."""
+    ROW axis over 'model' — matching the convention of every production
+    consumer (a column-axis placement here would force GSPMD to all-to-all
+    the whole O(n^2) batch before the row-sharded predict/solve)."""
     if shard_n:
-        return NamedSharding(mesh, P("data", None, "model"))
+        return NamedSharding(mesh, P("data", "model", None))
     return NamedSharding(mesh, P("data", None, None))
 
 

@@ -28,16 +28,12 @@ requires_8 = pytest.mark.skipif(
 
 
 def _known_instance(n, seed=0, noise=3e-3, dtype=np.float32):
-    """C = u + v^T + E with E = 0 on a planted permutation: known optimum."""
-    rng = np.random.default_rng(seed)
-    u = rng.uniform(0, 1, n)
-    v = rng.uniform(0, 1, n)
-    E = rng.uniform(0.01, 1.0, (n, n))
-    perm = rng.permutation(n)
-    E[np.arange(n), perm] = 0.0
-    C = (u[:, None] + v[None, :] + E).astype(dtype)
-    opt = float(C.astype(np.float64)[np.arange(n), perm].sum())
-    u_seed = (u + rng.normal(0, noise, n)).astype(dtype)
+    """Planted-optimum instance (shared generator; see data/generators.py)."""
+    from lapgnn_tpu.data.generators import generate_planted_optimum_instance
+
+    C, u_seed, _, opt = generate_planted_optimum_instance(
+        n, seed=seed, noise=noise, dtype=dtype
+    )
     v_seed = (C - u_seed[:, None]).min(axis=0).astype(dtype)
     return C, u_seed, v_seed, opt
 
