@@ -80,10 +80,11 @@ def main(argv=None) -> None:
             gauge_maes.append(float(np.mean(np.abs(du - du.mean()))))
 
             s_pipe = time_rigorous(lambda: pipe.solve(Cd), 1, args.repeats)
-            _, _, _, info = lapjv_seeded_native(
-                C, u_np, v_np, return_info=True, gate=pipe.gate
-            )
-            fallbacks.append(info["used_fallback"])
+            if s_pipe["success"]:
+                # used_fallback comes from the timed solve itself — a
+                # redundant O(n^3) native re-solve per instance (which could
+                # also abort the run on NativeSolveError) is not needed.
+                fallbacks.append(bool(s_pipe["result"]["used_fallback"][0]))
             if s_pipe["success"] and s_scipy["success"]:
                 sp = s_scipy["median"] / s_pipe["median"]
                 speedups.append(sp)

@@ -108,16 +108,25 @@ def main(argv=None) -> None:
         for n in args.sizes:
             for k in range(args.instances):
                 C = FAMILIES[fam](n, rng)
-                r, c = scipy.optimize.linear_sum_assignment(C)
-                opt = float(C[r, c].sum())
                 s_scipy = time_rigorous(
                     lambda: scipy.optimize.linear_sum_assignment(C), 1, args.repeats
                 )
+                # f32 conversion OUTSIDE the timed lambda: charging a
+                # per-repeat O(n^2) host copy to pipeline_ms made this CLI's
+                # speedups incomparable with large_scale_benchmark's.
+                C32 = np.asarray(C, np.float32)
                 s_pipe = time_rigorous(
-                    lambda: pipe.solve(np.asarray(C, np.float32)), 1, args.repeats
+                    lambda: pipe.solve(C32), 1, args.repeats
                 )
                 if not (s_scipy["success"] and s_pipe["success"]):
+                    print(
+                        f"# {fam} n={n} #{k}: measurement failed "
+                        f"(scipy={s_scipy.get('error')}, "
+                        f"pipe={s_pipe.get('error')}), skipping"
+                    )
                     continue
+                r, c = s_scipy["result"]  # reuse the timed solve
+                opt = float(C[r, c].sum())
                 got = float(s_pipe["result"]["cost"][0])
                 stages = profile_pipeline(pipe, C, repeats=2)
                 row = {

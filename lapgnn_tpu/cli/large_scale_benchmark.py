@@ -49,7 +49,9 @@ def main(argv=None) -> None:
     logger = BenchmarkLogger("large_scale", root=args.logs)
 
     pipe = None
-    if args.checkpoint and args.checkpoint.exists():
+    if args.checkpoint and not args.checkpoint.exists():
+        raise FileNotFoundError(f"checkpoint not found: {args.checkpoint}")
+    if args.checkpoint:
         from ..pipeline import WarmStartPipeline
         from ..train.checkpoint import build_model_from_meta, load_checkpoint
 
@@ -67,21 +69,40 @@ def main(argv=None) -> None:
             C = generate_uniform_costs(n, seed=1000 + k)
             row = {"n": n, "instance": k}
 
+            opt = None
             if not args.no_baselines:
                 s = time_rigorous(
                     lambda: scipy.optimize.linear_sum_assignment(C), 1, args.repeats
                 )
-                row["scipy_s"] = s["median"]
                 logger.log_result("scipy", "uniform", n, s)
+                if s["success"]:
+                    row["scipy_s"] = s["median"]
+                    r_, c_ = s["result"]  # reuse the timed solve
+                    opt = float(C[r_, c_].sum())
+                else:
+                    print(f"# scipy failed at n={n}: {s.get('error')}")
                 s = time_rigorous(lambda: lapjv_native(C), 1, args.repeats)
-                row["cold_s"] = s["median"]
                 logger.log_result("lap_cold", "uniform", n, s)
+                if s["success"]:
+                    row["cold_s"] = s["median"]
+                else:
+                    print(f"# lap_cold failed at n={n}: {s.get('error')}")
 
             if pipe is not None:
                 Cd = jnp.asarray(C, jnp.float32)[None]
                 s = time_rigorous(lambda: pipe.solve(Cd), 1, args.repeats)
+                if not s["success"]:
+                    print(f"# warm_pipeline failed at n={n}: {s.get('error')}")
+                    logger.log_result("warm_pipeline", "uniform", n, s)
                 if s["success"]:
                     got = float(s["result"]["cost"][0])
+                    if opt is not None and not (
+                        abs(got - opt) < 1e-3 * max(1.0, abs(opt))
+                    ):
+                        # never publish the speedup of a wrong answer
+                        raise RuntimeError(
+                            f"optimality violated at n={n}: {got} vs {opt}"
+                        )
                     row["pipeline_s"] = s["median"]
                     if "scipy_s" in row:
                         row["speedup_vs_scipy"] = row["scipy_s"] / row["pipeline_s"]

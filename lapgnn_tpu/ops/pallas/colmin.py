@@ -68,7 +68,7 @@ def _row_tile(n: int, m: int, itemsize: int = 4) -> int:
     tile = min(_ROW_TILE, cap, n)
     while tile > 1 and n % tile != 0:
         tile -= 1
-    return max(tile, 1) if n % max(tile, 1) == 0 else n
+    return max(tile, 1)  # tile=1 divides any n; no whole-matrix fallback
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

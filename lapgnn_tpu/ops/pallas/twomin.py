@@ -40,7 +40,13 @@ def _twomin_kernel(c_ref, v_ref, out_ref):
 def pallas_two_min(C: jnp.ndarray, v: jnp.ndarray, interpret: bool = False):
     """(n, m), (m,) -> (min1 (n,), min2 (n,), argmin1 (n,) int32) of C - v."""
     n, m = C.shape
-    tile = _row_tile(n, m, C.dtype.itemsize)
+    if C.dtype != jnp.float32:
+        # argmin indices round-trip through the value dtype inside the
+        # kernel; sub-f32 dtypes (bf16) corrupt indices above 256.
+        raise TypeError(f"pallas_two_min requires float32, got {C.dtype}")
+    # Working set is ~4x the streamed block (red + iota cols + excl
+    # temporaries alongside C), unlike colmin's single-block budget.
+    tile = _row_tile(n, m, C.dtype.itemsize * 4)
     out = pl.pallas_call(
         _twomin_kernel,
         grid=(n // tile,),
