@@ -70,6 +70,16 @@ def _from_key(k):
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 
+def _umin(x_u32, axis):
+    """Min-reduce uint32 values on Mosaic, which has no unsigned reductions
+    (NotImplementedError on real TPU; interpret mode accepts them, which is
+    how this slipped past the CPU tests).  XOR of the sign bit is an order
+    isomorphism uint32 -> int32, so reduce the signed image and map back."""
+    signed = jax.lax.bitcast_convert_type(x_u32 ^ _SIGN, jnp.int32)
+    m = jnp.min(signed, axis=axis)
+    return jax.lax.bitcast_convert_type(m, jnp.uint32) ^ _SIGN
+
+
 def _kth_key(keys, k: int):
     """Exact rank-k (1-indexed) smallest key per row via 32-step bitwise
     bisection.  keys: (R, m) uint32 -> (R,) uint32.
@@ -92,7 +102,7 @@ def _next_distinct_or_same(keys, kth_key, rank: int):
     key.  One counting pass + one masked-min pass."""
     kk = kth_key[:, None]
     le = jnp.sum((keys <= kk).astype(jnp.int32), axis=1)
-    bigger = jnp.min(jnp.where(keys > kk, keys, _FULL), axis=1)
+    bigger = _umin(jnp.where(keys > kk, keys, _FULL), axis=1)
     return jnp.where(le >= rank + 1, kth_key, bigger)
 
 
