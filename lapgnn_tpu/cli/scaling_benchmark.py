@@ -189,13 +189,18 @@ def main(argv=None) -> None:
         if not interpret:
             # interpret-mode would grind through 3x32 unrolled counting
             # passes on the CPU — only time the fused kernel where the
-            # routing decision applies (real TPU).
-            from ..ops.pallas.features import pallas_row_features_stats
+            # routing decision applies (real TPU).  A lowering failure of
+            # this OPTIONAL kernel must not abort the whole measurement
+            # before --output is written.
+            try:
+                from ..ops.pallas.features import pallas_row_features_stats
 
-            t_feat_pls = _kernel_time(
-                lambda C: pallas_row_features_stats(C),
-                max(2, inner // 8), args.repeats, C1,
-            )
+                t_feat_pls = _kernel_time(
+                    lambda C: pallas_row_features_stats(C),
+                    max(2, inner // 8), args.repeats, C1,
+                )
+            except Exception as exc:
+                print(f"# row_features pallas kernel failed at n={nr}: {exc}")
 
         entry = {
             "min_trick_xla_gb_s": round(bytes_read / t_xla / 1e9, 2),

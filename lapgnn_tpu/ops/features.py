@@ -253,6 +253,7 @@ def fast_row_features(C: jnp.ndarray, _force_pallas: bool = False) -> jnp.ndarra
         or C.dtype != jnp.float32
         or C.shape[-2] != n
         or n < 1024
+        or n % 8 != 0
         or jax.default_backend() != "tpu"
     ):
         return row_features(C)

@@ -179,10 +179,13 @@ def _feature_kernel(c_ref, colmin_ref, out_ref, *, m: int, k: int):
         gap = jnp.zeros_like(r_min)
         competition = jnp.zeros_like(r_min)
 
+    # (tile, 13) layout: the block's last dim equals the full output dim, so
+    # lowering is legal for ANY row tile (a (13, tile) block needs tile to be
+    # a multiple of 128 — the VMEM budget drops the tile to 32 at n=8192).
     out_ref[:] = jnp.stack(
         [r_min, r_max, mean, std, mad, entropy, gap, competition,
          k_mean, k_std, difficulty, near, is_col_best],
-        axis=0,
+        axis=1,
     )
 
 
@@ -201,6 +204,18 @@ def pallas_row_features_stats(
     col_min = pallas_col_min(C, interpret=interpret)[None]  # (1, m)
     # keys + deviations double the live tile; budget via a fatter itemsize.
     tile = _row_tile(n, m, C.dtype.itemsize * 3)
+    # Sublane alignment: a (tile, m) input block with tile < n must have
+    # tile % 8 == 0.  _row_tile only guarantees tile | n, so take the largest
+    # 8-aligned divisor of n not above the VMEM-budget tile.
+    if tile < n and tile % 8 != 0:
+        aligned = [t for t in range(8, tile + 1, 8) if n % t == 0]
+        if not aligned:
+            raise ValueError(
+                f"pallas_row_features_stats needs n divisible by 8 when the "
+                f"VMEM budget forces row tiling (n={n}, m={m}); route through "
+                f"ops.features.row_features instead"
+            )
+        tile = aligned[-1]
     k = min(10, m)
     out = pl.pallas_call(
         functools.partial(_feature_kernel, m=m, k=k),
@@ -210,10 +225,10 @@ def pallas_row_features_stats(
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (len(STAT_CHANNELS), tile), lambda i: (0, i),
+            (tile, len(STAT_CHANNELS)), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((len(STAT_CHANNELS), n), C.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, len(STAT_CHANNELS)), C.dtype),
         interpret=interpret,
     )(C, col_min)
-    return out.T
+    return out
