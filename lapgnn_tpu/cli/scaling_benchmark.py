@@ -92,13 +92,20 @@ def main(argv=None) -> None:
         with mesh:
             u, v = predict(params, Cd)
             np.asarray(v)  # true sync
+            # Burst-differencing: time bursts of B and 2B async calls (one
+            # sync each) and divide the DIFFERENCE by B — the dispatch+
+            # readback round-trip cancels instead of being amortised.
+            def _burst(k):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    _, vv = predict(params, Cd)
+                np.asarray(vv)
+                return time.perf_counter() - t0
+
             ts = []
             for _ in range(args.repeats):
-                t0 = time.perf_counter()
-                for _ in range(burst):
-                    u, v = predict(params, Cd)
-                np.asarray(v)
-                ts.append((time.perf_counter() - t0) / burst)
+                t1, t2 = _burst(burst), _burst(2 * burst)
+                ts.append(max(t2 - t1, 1e-9) / burst)
         rate = edges / min(ts)
         if base_rate is None:
             base_rate, base_m = rate, m
@@ -131,43 +138,53 @@ def main(argv=None) -> None:
     interpret = jax.default_backend() == "cpu"
 
     def _kernel_time(fn, inner, repeats, *kargs):
-        """Per-iteration seconds with ``inner`` kernel launches folded into
-        ONE dispatched program: on a remote-attached device the per-call
-        round-trip (tens of ms) would otherwise swamp sub-ms kernels."""
+        """Per-iteration seconds via K-DIFFERENCING: the kernel is folded
+        ``inner`` and ``2*inner`` times into one dispatched program each and
+        the difference is divided by ``inner`` — the host dispatch and D2H
+        readback round-trip (~30 ms on the remote-attached dev tunnel)
+        cancels EXACTLY instead of being amortised.  Without this, a 7-
+        iteration fold at n=8192 reported ~60 GB/s for a kernel that streams
+        at ~200 GB/s (round-2 discovery: the RTT, not the kernel, was the
+        measurement)."""
 
-        @jax.jit
-        def run(seed, *a):
-            if len(a) > 1:
-                # perturb the cheap O(n) operand, never the matrix
-                def body(c, _):
-                    out = fn(a[0], *[x + c * jnp.float32(1e-30) for x in a[1:]])
-                    return c * jnp.float32(1.0000001) + jnp.sum(out) * 0, jnp.sum(out)
+        def make(length):
+            @jax.jit
+            def run(seed, *a):
+                if len(a) > 1:
+                    # perturb the cheap O(n) operand, never the matrix
+                    def body(c, _):
+                        out = fn(a[0], *[x + c * jnp.float32(1e-30) for x in a[1:]])
+                        return c * jnp.float32(1.0000001) + jnp.sum(out) * 0, jnp.sum(out)
 
-                s, outs = lax.scan(body, seed, None, length=inner)
-                return s + jnp.sum(outs)
+                    s, outs = lax.scan(body, seed, None, length=length)
+                    return s + jnp.sum(outs)
 
-            # Single-arg kernels: carry the MATRIX and bump one element per
-            # iteration (scan carries alias buffers, so this is O(1) work).
-            # Adding c*1e-30 to the whole matrix would cost an extra
-            # uncounted read+write pass per iteration — and XLA can fuse
-            # that add into ITS consumers while pallas_call cannot, biasing
-            # the XLA-vs-Pallas routing comparison against Pallas.
-            def body(carry, _):
-                c_mat = carry
-                out = fn(c_mat)
-                c_mat = c_mat.at[(0,) * c_mat.ndim].add(jnp.float32(1e-30))
-                return c_mat, jnp.sum(out)
+                # Single-arg kernels: carry the MATRIX and bump one element
+                # per iteration (scan carries alias buffers, so this is O(1)
+                # work).  Adding c*1e-30 to the whole matrix would cost an
+                # extra uncounted read+write pass per iteration — and XLA can
+                # fuse that add into ITS consumers while pallas_call cannot,
+                # biasing the XLA-vs-Pallas routing comparison against Pallas.
+                def body(carry, _):
+                    c_mat = carry
+                    out = fn(c_mat)
+                    c_mat = c_mat.at[(0,) * c_mat.ndim].add(jnp.float32(1e-30))
+                    return c_mat, jnp.sum(out)
 
-            cm, outs = lax.scan(body, a[0] + seed * 0, None, length=inner)
-            return jnp.sum(cm.ravel()[:1]) + jnp.sum(outs)
+                cm, outs = lax.scan(body, a[0] + seed * 0, None, length=length)
+                return jnp.sum(cm.ravel()[:1]) + jnp.sum(outs)
+
+            return run
 
         # Device sync MUST be a D2H readback: on this remote-attached
         # platform block_until_ready can return before execution finishes.
         import itertools
 
+        run1, run2 = make(inner), make(2 * inner)
         seeds = iter(jnp.float32(1e-6 * (k + 1)) for k in itertools.count())
-        t = _bench(lambda: float(run(next(seeds), *kargs)), repeats)
-        return t / inner
+        t1 = _bench(lambda: float(run1(next(seeds), *kargs)), repeats)
+        t2 = _bench(lambda: float(run2(next(seeds), *kargs)), repeats)
+        return max(t2 - t1, 1e-9) / inner
 
     roofline = {}
     for nr in args.roofline_n:
@@ -175,7 +192,9 @@ def main(argv=None) -> None:
         C1 = jnp.asarray(rngk.uniform(0, 1, (nr, nr)), jnp.float32)
         u1 = jnp.zeros((nr,), jnp.float32)
         bytes_read = nr * nr * 4
-        inner = max(4, int(2e9 // bytes_read))  # ~2 GB of traffic per timing
+        # ~8 GB of traffic per timing: the K-differenced interval must be
+        # large against the dev tunnel's multi-ms jitter.
+        inner = max(8, int(8e9 // bytes_read))
 
         t_xla = _kernel_time(min_trick_v, inner, args.repeats, C1, u1)
         t_pls = _kernel_time(

@@ -232,11 +232,12 @@ def row_features(C: jnp.ndarray) -> jnp.ndarray:
 def fast_row_features(C: jnp.ndarray, _force_pallas: bool = False) -> jnp.ndarray:
     """``row_features`` routed through the fused sort-free Pallas kernel
     (ops/pallas/features.py: bitwise radix bisection instead of the full row
-    sort) when ``LAPGNN_PALLAS_FEATURES=1`` on a TPU backend with f32 input
-    and n >= 1024.  Identical semantics (parity pinned to ~1e-6 rel across
-    all families in tests/test_pallas.py); default-off until the on-device
-    measurement shows the win, mirroring the min-trick routing policy
-    (ops/dual.py:125).
+    sort) on a TPU backend with f32 input and n >= 1024 (n % 8 == 0).
+    Identical semantics (parity pinned to ~1e-6 rel across all families in
+    tests/test_pallas.py).  Default ON since the on-device measurement
+    (bench_results/north_star_tpu_r2.json, TPU v5e): 6.65 vs 2.80 GB/s at
+    n=2048 and 12.39 vs 3.29 GB/s at n=8192 — a 2.4-3.8x win over the
+    XLA sort path.  Opt out with ``LAPGNN_PALLAS_FEATURES=0``.
 
     The env var is read at TRACE time: set it before the process (or at
     least before the pipeline's first predict) — flipping it after a jitted
@@ -249,7 +250,7 @@ def fast_row_features(C: jnp.ndarray, _force_pallas: bool = False) -> jnp.ndarra
 
     n = C.shape[-1]
     if not _force_pallas and (
-        os.environ.get("LAPGNN_PALLAS_FEATURES") != "1"
+        os.environ.get("LAPGNN_PALLAS_FEATURES", "1") == "0"
         or C.dtype != jnp.float32
         or C.shape[-2] != n
         or n < 1024
