@@ -199,10 +199,14 @@ def main(argv=None) -> None:
         # Measured streaming-reduce ceiling: a plain column-min (no dual
         # shift) is the fastest single-pass reduction this chip/layout can
         # do — the in-situ roofline the min-trick should be judged against
-        # (nominal HBM peak is not reachable by a VPU reduce; the dummy
-        # u-dependence keeps the methodology identical to the timed kernels).
+        # (nominal HBM peak is not reachable by a VPU reduce).  The scalar
+        # u[0] add FUSES into the reduce (still one streaming pass) but makes
+        # the reduction depend on the per-iteration-perturbed operand — a
+        # `+ u[:1]*0` tail dependence leaves jnp.min(C) itself loop-invariant
+        # and XLA hoists it out of the scan, timing an empty loop (observed:
+        # "ceilings" of 21 TB/s at n=2048 against an 819 GB/s HBM).
         t_ceil = _kernel_time(
-            lambda C, u: jnp.min(C, axis=0) + u[:1] * 0,
+            lambda C, u: jnp.min(C + u[0] * jnp.float32(1e-30), axis=0),
             inner, args.repeats, C1, u1,
         )
         t_xla = _kernel_time(min_trick_v, inner, args.repeats, C1, u1)

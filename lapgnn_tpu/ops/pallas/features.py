@@ -27,11 +27,11 @@ Selection identities used (exactness):
   * k-smallest sum/sumsq: threshold T = rank-k value, then
     Σ_{x<T} x + (k − #{x<T})·T — tie-exact.
 
-Status: validated in interpret mode + on-device parity tests; routed into
-production by ops.features.fast_row_features only when
-``LAPGNN_PALLAS_FEATURES=1`` (measurement on real TPU hardware pending —
-flip the default once the roofline run shows the win, same policy as the
-min-trick routing at ops/dual.py:125).
+Status: production default — ops.features.fast_row_features routes through
+this kernel on TPU (f32, n >= 1024, n % 8 == 0) since the on-device
+measurement showed a 2.4-3.8x win over the XLA sort path at n=2048/8192
+(bench_results/north_star_tpu_r2.json, TPU v5e).  Opt out with
+``LAPGNN_PALLAS_FEATURES=0``.
 """
 
 from __future__ import annotations
