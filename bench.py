@@ -146,6 +146,35 @@ def main() -> None:
     except Exception as exc:
         print(f"# streamed-pipelined failed: {exc}", file=sys.stderr)
 
+    # Lossy-transfer streamed posture: bf16 upload halves the bytes over the
+    # bandwidth-bound tunnel; certify=True restores EXACT optimality on the
+    # host (f64 certificate vs the true matrix + native warm polish from the
+    # device duals).  Optimality is asserted below before the time is printed.
+    try:
+        pipe_bf16 = WarmStartPipeline(
+            model, params, mode="device", use_cost_refinement=use_refine,
+            transfer_dtype="bfloat16",
+        )
+        stream64 = [np.asarray(c, np.float64) for c in stream]
+        t0 = time.perf_counter()
+        outs = pipe_bf16.solve_stream(stream64, certify=True)
+        t_bf16 = (time.perf_counter() - t0) / len(stream64)
+        for C, o in zip(stream64, outs):
+            r, c = scipy.optimize.linear_sum_assignment(C)
+            opt = float(C[r, c].sum())
+            got = float(C[np.arange(N), o["col_of_row"][0]].sum())
+            assert o["certified"].all() and abs(got - opt) <= 1e-9 * max(
+                1.0, abs(opt)
+            ), (got, opt)
+        print(
+            f"# streamed-pipelined bf16+certify (exact): "
+            f"{t_bf16 * 1e3:.1f}ms/instance, speedup "
+            f"{t_scipy_ref / t_bf16:.3f}x",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# streamed bf16 posture failed: {exc}", file=sys.stderr)
+
     # Batched throughput (secondary): amortises the fixed dispatch/readback.
     try:
         B = 4

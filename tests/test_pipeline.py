@@ -65,6 +65,47 @@ def test_solve_stream_matches_solve(tiny_model, rng):
         assert abs(got - opt) < 1e-4 * max(1, abs(opt))
 
 
+@pytest.mark.parametrize("dtype", ["bfloat16", "float16"])
+def test_lossy_transfer_certified_exact(tiny_model, rng, dtype):
+    """bf16/f16 cost upload (half the bytes on a bandwidth-bound link) +
+    certify=True must return the EXACT optimum of the true f64 matrix: the
+    device solves the rounded problem, the host certificate fails against
+    the true C, and the native f64 polish warm-started from the device duals
+    repairs it.  Covers solve(), solve_stream(), and the hybrid mode (exact
+    by construction — the native solve reads the true host matrix)."""
+    model, params = tiny_model
+    costs = [FAMILIES["uniform"](32, rng) for _ in range(3)]
+    opts = []
+    for C in costs:
+        r, c = scipy.optimize.linear_sum_assignment(C)
+        opts.append(C[r, c].sum())
+
+    pipe = WarmStartPipeline(model, params, mode="device", transfer_dtype=dtype)
+    out = pipe.solve(np.stack(costs), certify=True)
+    assert out["certified"].all()
+    for b, C in enumerate(costs):
+        got = C[np.arange(32), out["col_of_row"][b]].sum()
+        assert abs(got - opts[b]) < 1e-9
+        assert abs(out["cost"][b] - opts[b]) < 1e-9
+
+    streamed = pipe.solve_stream(costs, certify=True)
+    for o, C, opt in zip(streamed, costs, opts):
+        assert o["certified"].all()
+        got = C[np.arange(32), o["col_of_row"][0]].sum()
+        assert abs(got - opt) < 1e-9
+
+    hyb = WarmStartPipeline(model, params, mode="hybrid", transfer_dtype=dtype)
+    out_h = hyb.solve(np.stack(costs))
+    for b, opt in enumerate(opts):
+        assert abs(out_h["cost"][b] - opt) < 1e-9
+
+
+def test_transfer_dtype_validated(tiny_model):
+    model, params = tiny_model
+    with pytest.raises(ValueError):
+        WarmStartPipeline(model, params, transfer_dtype="int8")
+
+
 def test_evaluation_metrics(tiny_model):
     model, params = tiny_model
     pipe = WarmStartPipeline(model, params, mode="hybrid")
