@@ -222,6 +222,23 @@ class WarmStartPipeline:
         """(B, n, n) -> ((B, n) u, (B, n) v), dual-feasible."""
         return self._predict(self.params, cost)
 
+    def _to_xfer(self, c) -> np.ndarray:
+        """Cast a host array to the transfer dtype, fast.
+
+        ml_dtypes' f64->bf16 cast runs element-at-a-time (~150 ms for a
+        2048x2048 matrix — as long as the upload it is supposed to halve).
+        Pack bf16 with vectorised uint bit ops instead: round-to-nearest-even
+        on the f32 image (add 0x7FFF + lsb, shift), bit-identical to the
+        ml_dtypes/XLA cast for all finite inputs, ~10 ms.
+        """
+        if self._xfer_dtype == jnp.bfloat16:
+            a32 = np.ascontiguousarray(c, np.float32)
+            bits = a32.view(np.uint32)
+            hi = ((bits + np.uint32(0x7FFF) + ((bits >> np.uint32(16)) & np.uint32(1)))
+                  >> np.uint32(16)).astype(np.uint16)
+            return hi.view(self._xfer_dtype)
+        return np.ascontiguousarray(c, self._xfer_dtype)
+
     def solve(self, cost, certify: bool = False) -> Dict[str, np.ndarray]:
         """Solve a batch. Returns dict with col_of_row, cost, used_fallback.
 
@@ -233,7 +250,12 @@ class WarmStartPipeline:
         exactness policy for the f32 device path — the reference gets the
         same guarantee from being float64 end-to-end (lapjv.h:55).
         """
-        cost_dev = jnp.asarray(cost, self._xfer_dtype)
+        # Device-resident inputs cast on device; host arrays pack via the
+        # fast host-side cast (see _to_xfer) before the upload.
+        if isinstance(cost, jax.Array):
+            cost_dev = jnp.asarray(cost, self._xfer_dtype)
+        else:
+            cost_dev = jnp.asarray(self._to_xfer(cost))
         if cost_dev.ndim == 2:
             cost_dev = cost_dev[None]
 
@@ -279,12 +301,16 @@ class WarmStartPipeline:
         (NaN duals, non-bijective x from a poisoned input), which cold-solves.
         Adds 'certified' and 'gap_bound' arrays to ``out``.
         """
+        import time as _time
+
         from .solver.verification import certify_assignment
 
         n = cost_np.shape[-1]
         v_all = packed[:, 2 + n :].astype(np.float64)
         certified = np.zeros(packed.shape[0], bool)
         gap_bound = np.zeros(packed.shape[0])
+        polished = np.zeros(packed.shape[0], bool)
+        polish_ms = np.zeros(packed.shape[0])
         for b in range(packed.shape[0]):
             ok, _, bound = certify_assignment(
                 cost_np[b], out["col_of_row"][b], v_all[b],
@@ -298,6 +324,7 @@ class WarmStartPipeline:
             else:
                 from .solver.native import lapjv_native, lapjv_seeded_native
 
+                t0 = _time.perf_counter()
                 x_b = out["col_of_row"][b]
                 valid = (
                     np.array_equal(np.sort(x_b), np.arange(n))
@@ -305,17 +332,40 @@ class WarmStartPipeline:
                 )
                 if valid:
                     u_b = cost_np[b][np.arange(n), x_b] - v_all[b][x_b]
-                    x, _, c = lapjv_seeded_native(
+                    x, _, c, info = lapjv_seeded_native(
                         cost_np[b], u_b, v_all[b], eps=self.eps,
-                        gate=self.gate,
+                        gate=self.gate, return_info=True,
                     )
+                    v_fin = info["v"]
                 else:
-                    x, _, c = lapjv_native(cost_np[b])
+                    x, _, c, _, v_fin = lapjv_native(
+                        cost_np[b], return_duals=True
+                    )
+                # Re-certify the POLISHED result instead of hardcoding a zero
+                # gap: the native greedy phase matches tight edges only within
+                # tight_eps=max(eps,1e-9), so the polish can in principle be
+                # up to n*1e-9 suboptimal — report its actual certificate.
+                ok2, _, bound2 = certify_assignment(
+                    cost_np[b], x, v_fin, tol=self.certify_tol
+                )
+                if not ok2 and valid:
+                    # Seeded polish failed its own certificate: cold f64 solve
+                    # (bit-exact oracle) and certify that.
+                    x, _, c, _, v_fin = lapjv_native(
+                        cost_np[b], return_duals=True
+                    )
+                    ok2, _, bound2 = certify_assignment(
+                        cost_np[b], x, v_fin, tol=self.certify_tol
+                    )
                 out["col_of_row"][b] = x
                 out["cost"][b] = c
-                certified[b], gap_bound[b] = True, 0.0
+                certified[b], gap_bound[b] = ok2, bound2
+                polished[b] = True
+                polish_ms[b] = (_time.perf_counter() - t0) * 1e3
         out["certified"] = certified
         out["gap_bound"] = gap_bound
+        out["polished"] = polished
+        out["polish_ms"] = polish_ms
 
     def solve_stream(self, costs, certify: bool = False) -> list:
         """Pipelined streaming solve: overlap H2D, compute, and D2H.
@@ -333,8 +383,11 @@ class WarmStartPipeline:
         With a lossy ``transfer_dtype`` (bf16/f16) the upload is HALF the
         bytes — on a bandwidth-bound link that halves the per-instance floor
         — and ``certify=True`` restores exactness for the true matrices on
-        the host (certificate + native warm polish, overlapped with the next
-        instance's drain).
+        the host (certificate + native warm polish).  Certification runs on
+        a worker thread so the ~O(n^2) f64 certificate and any native polish
+        overlap the NEXT instance's device drain instead of serialising with
+        it: the certificate is NumPy and the polish a ctypes call into the
+        stateless native solver, both of which release the GIL.
 
         Returns a list of per-instance result dicts (same schema as
         ``solve``).
@@ -348,24 +401,38 @@ class WarmStartPipeline:
             buf = (
                 pending
                 if pending is not None
-                else jax.device_put(jnp.asarray(c, self._xfer_dtype)[None])
+                else jax.device_put(self._to_xfer(c)[None])
             )
             if k + 1 < len(costs):
                 # Issue the next upload BEFORE dispatching this solve: the
                 # transfer proceeds while the device works on instance k.
-                pending = jax.device_put(
-                    jnp.asarray(costs[k + 1], self._xfer_dtype)[None]
-                )
+                pending = jax.device_put(self._to_xfer(costs[k + 1])[None])
             packed_futures.append(self._e2e(self.params, buf))
         results = []
-        for packed_dev, c in zip(packed_futures, costs):
-            packed = np.asarray(packed_dev)  # drain: the only sync points
-            c_np = np.asarray(c, np.float64)
-            n = c_np.shape[-1]
-            out = self._unpack(packed, n)
+        pool = cert_futures = None
+        if certify:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool, cert_futures = ThreadPoolExecutor(max_workers=2), []
+        try:
+            for packed_dev, c in zip(packed_futures, costs):
+                packed = np.asarray(packed_dev)  # drain: the only sync points
+                c_np = np.asarray(c, np.float64)
+                n = c_np.shape[-1]
+                out = self._unpack(packed, n)
+                if certify:
+                    cert_futures.append(
+                        pool.submit(
+                            self._certify_and_polish, c_np[None], packed, out
+                        )
+                    )
+                results.append(out)
             if certify:
-                self._certify_and_polish(c_np[None], packed, out)
-            results.append(out)
+                for f in cert_futures:
+                    f.result()  # re-raises worker exceptions
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
         return results
 
     def _solve_hybrid(self, cost, cost_dev):

@@ -100,6 +100,44 @@ def test_lossy_transfer_certified_exact(tiny_model, rng, dtype):
         assert abs(out_h["cost"][b] - opt) < 1e-9
 
 
+def test_certify_reports_polish_telemetry(tiny_model, rng):
+    """certify=True results carry 'polished'/'polish_ms' telemetry, and the
+    gap_bound of a polished entry is the re-certified bound of the POLISHED
+    result (not a hardcoded zero) — the advisor's round-2 finding."""
+    model, params = tiny_model
+    pipe = WarmStartPipeline(
+        model, params, mode="device", transfer_dtype="bfloat16"
+    )
+    C = FAMILIES["uniform"](32, rng)
+    out = pipe.solve(C[None], certify=True)
+    for key in ("certified", "gap_bound", "polished", "polish_ms"):
+        assert key in out, key
+    assert out["certified"].all()
+    if out["polished"][0]:
+        # a polished entry's timing was measured, and its bound comes from a
+        # real certificate (n * tight_eps at most, never silently huge)
+        assert out["polish_ms"][0] > 0
+        assert out["gap_bound"][0] <= 32 * pipe.certify_tol
+
+
+def test_to_xfer_bf16_bit_identical_to_ml_dtypes(tiny_model, rng):
+    """The fast host-side bf16 packing (uint bit ops, round-to-nearest-even)
+    must be bit-identical to the ml_dtypes cast it replaces — the device
+    solves exactly the matrix the slow path would have uploaded."""
+    import ml_dtypes
+
+    model, params = tiny_model
+    pipe = WarmStartPipeline(
+        model, params, mode="device", transfer_dtype="bfloat16"
+    )
+    for scale in (1.0, 1e6, 1e-6):
+        a = rng.uniform(-scale, scale, (64, 64))
+        ref = a.astype(np.float32).astype(ml_dtypes.bfloat16)
+        got = pipe._to_xfer(a)
+        assert got.dtype == ref.dtype
+        assert (got.view(np.uint16) == ref.view(np.uint16)).all()
+
+
 def test_transfer_dtype_validated(tiny_model):
     model, params = tiny_model
     with pytest.raises(ValueError):
