@@ -8,6 +8,8 @@ import pytest
 from lapgnn_tpu.cli import generate_dataset, main_benchmark, regenerate_assignments
 from lapgnn_tpu.data.h5io import H5Reader
 
+pytestmark = pytest.mark.slow  # end-to-end CLI smoke (subprocess + dataset + training, ~2 min)
+
 
 def test_generate_dataset_cli(tmp_path):
     out = tmp_path / "ds"

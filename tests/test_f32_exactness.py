@@ -81,6 +81,7 @@ def test_sub_ulp_separation_bounded_and_certified(rng):
     assert got - opt <= gap_bound + 1e-9
 
 
+@pytest.mark.slow
 def test_certify_and_polish_restores_exactness(rng):
     """pipeline.solve(certify=True) on an adversarial instance: exact."""
     pytest.importorskip("lapgnn_tpu.solver.native")

@@ -73,6 +73,7 @@ def test_row_features_match_oracle(fam, n):
     np.testing.assert_allclose(got / scale, want / scale, atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_row_features_batch_consistent(rng):
     C = np.stack([FAMILIES["uniform"](16, rng) for _ in range(3)])
     batched = np.asarray(row_features(jnp.asarray(C)))
@@ -126,6 +127,7 @@ def test_row_ranks_channel(rng):
         np.testing.assert_allclose(np.sort(rr[i]), np.arange(12) / 11, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_graph_features_channel_values_vs_numpy_oracle(rng):
     """Pin every node/edge channel of graph_features to an independent NumPy
     oracle — shape/symmetry tests alone would let a channel swap or rescale

@@ -81,3 +81,75 @@ def test_seeded_solver_matches_golden(name, C, opt, atol):
     u, v = oracle_duals_np(C)
     _, _, cost = lapjv_seeded_native(C, u, v)
     assert abs(cost - opt) <= atol
+
+
+# --- Real-world ill-conditioned golden (reference: cost_eps.csv.gz, a real
+# matrix whose optimum 224.8899507294651 is asserted at 1e-13,
+# LAP/lap/tests/test_utils.py:126-132, test_lapjv.py:263-268).
+#
+# Ours is derived from the vendored OR-Library fixture (real assignment data,
+# data/real/assignp200.assign.gz): coarse layer = the 200x200 integer costs
+# (only 100 distinct values -> the coarse problem is massively degenerate,
+# with many optimal assignments), fine layer = the same real data
+# rotated 180 degrees, scaled by 2^-26.  The optimum is therefore decided
+# entirely by 1.5e-8-scale tie-breaking among the coarse-optimal
+# assignments — exactly the cost_eps failure mode (near-ties far below the
+# value scale).  The golden optimum was computed INDEPENDENTLY in exact
+# integer arithmetic: opt_int = lsa(A * 2^26 + B) = 17918076112 (entries
+# < 2^33 and the 200-term sum < 2^35 are exact in f64), so
+# GOLDEN = opt_int * 2^-26 is the true optimum to the last bit and every
+# f64 solver must hit it to 1e-13.
+ILL_REAL_OPT = 17918076112 / (1 << 26)  # 267.0001404285431
+
+
+def _ill_real_matrix():
+    from pathlib import Path
+
+    from lapgnn_tpu.data.processors import parse_orlib_assign
+
+    fixture = (
+        Path(__file__).resolve().parent.parent
+        / "data"
+        / "real"
+        / "assignp200.assign.gz"
+    )
+    A = np.asarray(parse_orlib_assign(fixture).cost, np.float64)
+    return A + A[::-1, ::-1] * 2.0**-26
+
+
+def test_ill_conditioned_real_golden_native():
+    from lapgnn_tpu.solver.native import lapjv_native
+
+    C = _ill_real_matrix()
+    _, _, cost = lapjv_native(C)
+    assert abs(cost - ILL_REAL_OPT) <= 1e-13
+
+
+def test_ill_conditioned_real_golden_seeded_native():
+    from lapgnn_tpu.ops.host_dual import oracle_duals_np
+    from lapgnn_tpu.solver.native import lapjv_seeded_native
+
+    C = _ill_real_matrix()
+    u, v = oracle_duals_np(C)
+    _, _, cost = lapjv_seeded_native(C, u, v)
+    assert abs(cost - ILL_REAL_OPT) <= 1e-13
+
+
+def test_ill_conditioned_real_golden_py_sparse():
+    from lapgnn_tpu.solver.py_sparse import lapmod_py
+
+    C = _ill_real_matrix()
+    n = C.shape[0]
+    row_ptr = np.arange(0, n * n + 1, n, dtype=np.int64)
+    col_idx = np.tile(np.arange(n, dtype=np.int64), n)
+    x, _, cost = lapmod_py(n, row_ptr, col_idx, C.ravel())
+    assert abs(C[np.arange(n), x].sum() - ILL_REAL_OPT) <= 1e-13
+    assert abs(cost - ILL_REAL_OPT) <= 1e-13
+
+
+def test_ill_conditioned_real_golden_jax_f64():
+    from lapgnn_tpu.solver.jv import lapjv_single
+
+    C = _ill_real_matrix()
+    _, _, cost = lapjv_single(jnp.asarray(C, jnp.float64))
+    assert abs(float(cost) - ILL_REAL_OPT) <= 1e-13

@@ -11,6 +11,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __graft_entry__ as ge  # noqa: E402
 
+pytestmark = pytest.mark.slow  # 8-device CPU-mesh dryruns (~2 min): the driver exercises these separately
+
 
 def test_entry_jits_and_runs():
     fn, args = ge.entry()

@@ -98,6 +98,7 @@ def test_dual_gnn_mask(dual_gnn_setup):
     np.testing.assert_allclose(np.asarray(out["v_hint"])[0, 9:], 0.0)
 
 
+@pytest.mark.slow
 def test_dual_gnn_grad(dual_gnn_setup):
     model, params, gf = dual_gnn_setup
 
@@ -111,6 +112,7 @@ def test_dual_gnn_grad(dual_gnn_setup):
     )
 
 
+@pytest.mark.slow
 def test_dual_gnn_remat_matches_and_differentiates(rng):
     from lapgnn_tpu.train.loss import dual_gnn_loss
 
@@ -135,6 +137,7 @@ def test_dual_gnn_remat_matches_and_differentiates(rng):
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_one_gnn_context_shapes_and_padding_gauge(one_gnn_setup):
     """DeepSets context (net-new): padded batch == unpadded up to gauge shift.
 

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from lapgnn_tpu.data.generators import FAMILIES
-from lapgnn_tpu.ops.pallas import pallas_col_min, pallas_min_trick, pallas_row_stats
+from lapgnn_tpu.ops.pallas import pallas_col_min, pallas_min_trick
 
 INTERPRET = jax.default_backend() == "cpu"
 
@@ -33,23 +33,38 @@ def test_pallas_min_trick(n, rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
 
 
-def test_pallas_row_stats(rng):
+def test_pallas_feature_stats_vs_numpy_oracle(rng):
+    """Direct NumPy-oracle check of the fused feature kernel's single-pass
+    channels (min/max/mean/std/entropy/near-best + exact median/MAD/k-stats)
+    — independent of the XLA row_features path the parity test compares
+    against.  (Migrated from the deleted rowstats.py exemplar kernel.)"""
+    from lapgnn_tpu.ops.pallas.features import pallas_row_features_stats
+
     n = 256
     Cn = FAMILIES["uniform"](n, rng)
     C = jnp.asarray(Cn, jnp.float32)
-    got = np.asarray(pallas_row_stats(C, interpret=INTERPRET))
+    got = np.asarray(pallas_row_features_stats(C, interpret=INTERPRET))
 
     np.testing.assert_allclose(got[:, 0], Cn.min(1), atol=1e-6)
     np.testing.assert_allclose(got[:, 1], Cn.max(1), atol=1e-6)
     np.testing.assert_allclose(got[:, 2], Cn.mean(1), atol=1e-5)
     np.testing.assert_allclose(got[:, 3], Cn.std(1), atol=1e-5)
+    med = np.median(Cn.astype(np.float32), axis=1)
+    np.testing.assert_allclose(got[:, 4], np.maximum(
+        np.median(np.abs(Cn.astype(np.float32) - med[:, None]), axis=1), 1e-9
+    ), rtol=1e-6)
     # Entropy vs the reference formulation.
     Z = Cn.min(1, keepdims=True)
     e = np.exp(-(Cn - Z))
-    p = e / (e.sum(1, keepdims=True) + 1e-9)
-    ent = -(p * np.log(p + 1e-9)).sum(1)
-    np.testing.assert_allclose(got[:, 4], ent, atol=1e-4)
-    np.testing.assert_allclose(got[:, 5], (Cn <= Cn.min(1, keepdims=True) * 1.1).mean(1), atol=1e-6)
+    p_ = e / (e.sum(1, keepdims=True) + 1e-9)
+    ent = -(p_ * np.log(p_ + 1e-9)).sum(1)
+    np.testing.assert_allclose(got[:, 5], ent, atol=1e-4)
+    srt = np.sort(Cn.astype(np.float32), axis=1)
+    np.testing.assert_allclose(got[:, 8], srt[:, :10].mean(1), rtol=1e-5)
+    np.testing.assert_allclose(got[:, 9], srt[:, :10].std(1), atol=1e-5)
+    np.testing.assert_allclose(
+        got[:, 11], (Cn <= Cn.min(1, keepdims=True) * 1.1).mean(1), atol=1e-6
+    )
 
 
 def test_pallas_two_min(rng):

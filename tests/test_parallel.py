@@ -53,6 +53,7 @@ def test_shmap_min_trick_matches_dense(rng):
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_predict_matches_single_device(rng):
     mesh = make_mesh(data=2, model=4)
     n, batch = 32, 4
@@ -76,6 +77,7 @@ def test_sharded_predict_matches_single_device(rng):
 
 
 @requires_8
+@pytest.mark.slow
 def test_dp_train_step_runs_and_matches_replicated(rng):
     mesh = make_mesh(data=4, model=2)
     n, batch = 16, 8
@@ -139,6 +141,7 @@ def test_ring_min_trick_matches_dense(rng):
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_predict_rank1_auto_matches_single_device(rng):
     """The GSPMD predict path includes the rank-1 analytic candidate: on a
     noisy_linear batch (where rank-1 wins the dual-objective selection) the

@@ -104,6 +104,7 @@ def test_select_best_seed_per_instance():
 
 
 @pytest.mark.parametrize("family", ["noisy_linear", "uniform", "sparse"])
+@pytest.mark.slow
 def test_pipeline_auto_seed_exact_and_warm(family, rng):
     """seed_mode='auto' keeps exact optimality everywhere and turns
     noisy_linear from a guaranteed cold fallback into a warm solve."""

@@ -125,6 +125,7 @@ def test_seeded_float32():
 
 
 @pytest.mark.parametrize("gate", ["density", "free_rows", "never"])
+@pytest.mark.slow
 def test_gates_all_exactly_optimal(gate):
     """Every gate mode stays exactly optimal for good, noisy, and garbage seeds."""
     rng = np.random.default_rng(10)
@@ -241,6 +242,7 @@ def test_nan_cost_returns_instead_of_hanging():
     assert (x < 0).any() or np.isnan(cost)
 
 
+@pytest.mark.slow
 def test_arr_rounds_zero_disables_arr_phase():
     """arr_rounds=0 must actually skip the Jacobi ARR phase (falsy-zero bug):
     the sweep augmentation alone still reaches the exact optimum."""

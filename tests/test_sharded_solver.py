@@ -82,6 +82,7 @@ def test_sharded_solve_no_matrix_allgather():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_pipeline_end_to_end():
     """features -> OneGNN -> min-trick -> sharded solve, one partitioned program."""
     from lapgnn_tpu.models import OneGNN
@@ -104,6 +105,7 @@ def test_sharded_pipeline_end_to_end():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_pipeline_rank1_auto_no_matrix_allgather():
     """The rank-1 candidate's collectives are O(n) (matvec psum + replicated
     factor sorts): the full pipeline with seed_mode='auto' must still move

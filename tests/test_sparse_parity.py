@@ -104,6 +104,7 @@ def test_single_edge_rows(rng):
 
 
 @pytest.mark.parametrize("n,keep,seed", [(1024, 0.05, 3), (4096, 0.01, 4)])
+@pytest.mark.slow
 def test_golden_sparse_large(n, keep, seed):
     """Golden fixtures at 1k/4k (reference test_lapmod.py 1k/4k fixtures)."""
     rng = np.random.default_rng(seed)

@@ -26,6 +26,8 @@ import jax.numpy as jnp  # noqa: E402
 from lapgnn_tpu.models import DualGNN, OneGNN  # noqa: E402
 from lapgnn_tpu.ops.features import graph_features, row_features  # noqa: E402
 
+pytestmark = pytest.mark.slow  # loads torch + builds reference models (~30 s)
+
 
 def _t(x):
     return torch.from_numpy(np.array(x, np.float32, copy=True))

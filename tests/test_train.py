@@ -33,6 +33,7 @@ def test_bucket_batcher_shapes(tiny_dataset):
         assert u.shape == (cost.shape[0], 12)
 
 
+@pytest.mark.slow
 def test_train_one_gnn_reduces_loss(tiny_dataset):
     cfg = TrainConfig(
         hidden=16, layers=1, epochs=8, batch_size=6, min_epochs=8, patience=3,
@@ -44,6 +45,7 @@ def test_train_one_gnn_reduces_loss(tiny_dataset):
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
 
 
+@pytest.mark.slow
 def test_train_with_validation_early_stop(tiny_dataset):
     cfg = TrainConfig(
         hidden=16, layers=1, epochs=4, batch_size=6, min_epochs=1, patience=1,
@@ -93,6 +95,7 @@ def test_checkpoint_dual_gnn_meta_roundtrip(tmp_path):
     assert model.hidden_dim == 32
 
 
+@pytest.mark.slow
 def test_dual_trainer_single_epoch():
     from lapgnn_tpu.train.dual_trainer import DualTrainConfig, train_dual_gnn
 
