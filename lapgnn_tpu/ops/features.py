@@ -282,20 +282,20 @@ class GraphFeatures(NamedTuple):
 
 def _normalized_ranks(C: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Rank of each entry along ``axis``, normalised to [0, 1]
-    (features.py:34-39: double argsort)."""
-    order = jnp.argsort(C, axis=axis)
+    (features.py:34-39: double argsort).
+
+    The inverse permutation of argsort is computed with a SECOND argsort
+    (identical result — argsort output is always a permutation) rather than
+    put_along_axis: the scatter that put_along_axis lowers to cannot be
+    partitioned by GSPMD, which would fully replicate the matrix and its
+    int32 index tuples on every device of a sharded mesh (parallel/dual.py).
+    Sorts along an unsharded axis stay shard-local."""
     n = C.shape[axis]
-    iota_shape = [1] * C.ndim
-    iota_shape[axis] = n
-    ranks_src = jnp.broadcast_to(
-        lax.iota(jnp.float32, n).reshape(iota_shape), C.shape
-    )
-    ranks = jnp.zeros_like(C, dtype=jnp.float32)
-    ranks = jnp.put_along_axis(ranks, order, ranks_src, axis=axis, inplace=False)
-    denom = n - 1
-    if denom <= 0:
+    if n <= 1:
         return jnp.zeros_like(C, dtype=jnp.float32)
-    return ranks / denom
+    order = jnp.argsort(C, axis=axis)
+    ranks = jnp.argsort(order, axis=axis).astype(jnp.float32)
+    return ranks / (n - 1)
 
 
 def _axis_stats(C: jnp.ndarray, axis: int):
@@ -317,6 +317,8 @@ def graph_features(
     C: jnp.ndarray,
     include_reduced_cost: bool = False,
     u: Optional[jnp.ndarray] = None,
+    constrain_rows=None,
+    constrain_cols=None,
 ) -> GraphFeatures:
     """Dense bipartite graph features for DualGNN (features.py:49-153).
 
@@ -338,12 +340,21 @@ def graph_features(
     B, n, _ = C.shape
     Cf = C.astype(jnp.float32)
 
-    r_mn, r_mx, r_mean, r_std, r_med, r_mad, r_ent = _axis_stats(Cf, axis=-1)
-    c_mn, c_mx, c_mean, c_std, c_med, c_mad, c_ent = _axis_stats(Cf, axis=-2)
+    # Distribution hooks (parallel/dual.py): the sort-based row/col channels
+    # need whole rows / whole columns, so under a 2-D (row, col) edge mesh
+    # they must run on a one-axis-sharded copy of C — ``constrain_rows`` /
+    # ``constrain_cols`` pin those layouts (with_sharding_constraint) so
+    # GSPMD reshards C once per axis instead of fully replicating it and
+    # redoing every sort on every device.  Identity on a single device.
+    Cr = constrain_rows(Cf) if constrain_rows is not None else Cf
+    Cc = constrain_cols(Cf) if constrain_cols is not None else Cf
+
+    r_mn, r_mx, r_mean, r_std, r_med, r_mad, r_ent = _axis_stats(Cr, axis=-1)
+    c_mn, c_mx, c_mean, c_std, c_med, c_mad, c_ent = _axis_stats(Cc, axis=-2)
 
     scaled_cost = (Cf - r_med[..., :, None]) / r_mad[..., :, None]
-    row_rank = _normalized_ranks(Cf, axis=-1)
-    col_rank = _normalized_ranks(Cf, axis=-2)
+    row_rank = _normalized_ranks(Cr, axis=-1)
+    col_rank = _normalized_ranks(Cc, axis=-2)
     row_gap = Cf - r_mn[..., :, None]
     col_gap = Cf - c_mn[..., None, :]
     row_tie = jnp.sum((row_gap <= TAU).astype(jnp.float32), axis=-1) / max(1, n)

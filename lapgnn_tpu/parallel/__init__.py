@@ -1,5 +1,10 @@
 """Distribution layer: device meshes, shardings, collective ops."""
 
+from .dual import (
+    assert_no_edge_tensor_gather,
+    dual_mesh,
+    make_sharded_dual_predict,
+)
 from .mesh import Mesh, NamedSharding, P, batch_sharding, make_mesh, replicated
 from .ring import ring_all_reduce_min, ring_min_trick
 from .sharded import (
@@ -22,4 +27,7 @@ __all__ = [
     "make_sharded_predict",
     "shmap_col_min",
     "shmap_min_trick",
+    "assert_no_edge_tensor_gather",
+    "dual_mesh",
+    "make_sharded_dual_predict",
 ]
