@@ -22,35 +22,6 @@ from pathlib import Path
 import numpy as np
 
 
-class DualGNNPredictor:
-    """Adapter exposing WarmStartPipeline's ``predict_duals`` surface for
-    DualGNN so ``evaluation.evaluate_pipeline`` can score both models with
-    the same code path (v from the min-trick, as gnn/eval.py:119 does —
-    v_hint is a training aid, not the serving column dual)."""
-
-    def __init__(self, model, params):
-        import jax
-
-        from ..ops.dual import min_trick_v
-        from ..ops.features import graph_features
-
-        self.params = jax.device_put(params)
-
-        @jax.jit
-        def predict(params, cost):
-            gf = graph_features(cost)
-            preds = model.apply(
-                params, gf.edge_feat, gf.row_feat, gf.col_feat, deterministic=True
-            )
-            u = preds["u"].astype(cost.dtype)
-            v = min_trick_v(cost, u)
-            return u, v
-
-        self._predict = predict
-
-    def predict_duals(self, cost):
-        return self._predict(self.params, cost)
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
@@ -70,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from ..data.h5io import H5Reader
-    from ..evaluation import evaluate_pipeline
+    from ..evaluation import DualGNNPredictor, evaluate_pipeline
     from ..pipeline import WarmStartPipeline
     from ..train.checkpoint import build_model_from_meta, load_checkpoint
 

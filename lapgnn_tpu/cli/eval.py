@@ -35,13 +35,23 @@ def main(argv=None) -> None:
 
     params, meta, _ = load_checkpoint(args.checkpoint)
     model = build_model_from_meta(meta)
-    pipe = WarmStartPipeline(
-        model,
-        params,
-        mode=args.mode,
-        use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
-        seed_mode=args.seed_mode,
-    )
+    if meta.get("architecture") == "dual_gnn":
+        # The reference's eval.py is DualGNN-oriented (gnn/eval.py:69-80);
+        # DualGNN has its own feature/forward surface, so it cannot ride the
+        # OneGNN WarmStartPipeline (a DualGNN checkpoint used to crash here
+        # with "unexpected keyword argument 'cost'" — caught by the CLI
+        # smoke tests).  u is served identically; v via the min-trick.
+        from ..evaluation import DualGNNPredictor
+
+        pipe = DualGNNPredictor(model, params)
+    else:
+        pipe = WarmStartPipeline(
+            model,
+            params,
+            mode=args.mode,
+            use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
+            seed_mode=args.seed_mode,
+        )
     with H5Reader(args.split) as r:
         instances = [r[i] for i in range(min(len(r), args.limit))]
     metrics = evaluate_pipeline(pipe, instances, time_solvers=not args.no_timing)

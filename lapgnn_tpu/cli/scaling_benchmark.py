@@ -88,10 +88,20 @@ def main(argv=None) -> None:
         # per-call blocking readback (tens of ms) would otherwise dominate
         # the measurement and collapse efficiency toward 1/m regardless of
         # actual scaling.
-        burst = max(1, int(2e8 // max(1, edges)))
         with mesh:
             u, v = predict(params, Cd)
             np.asarray(v)  # true sync
+            # Calibrate the burst from a measured call instead of a fixed
+            # edge-visit budget: 2e8 edge-visits assumed TPU rates and blew
+            # up to ~12k calls per burst at small n on CPU (the round-2
+            # test-suite 'hang').  Target ~0.5 s per burst, capped so the
+            # differenced interval still dominates dispatch jitter.
+            t0 = time.perf_counter()
+            _, vv = predict(params, Cd)
+            np.asarray(vv)
+            t_call = max(time.perf_counter() - t0, 1e-6)
+            burst = int(min(max(2, 0.5 / t_call), 2e8 // max(1, edges) or 2))
+            burst = max(burst, 2)
             # Burst-differencing: time bursts of B and 2B async calls (one
             # sync each) and divide the DIFFERENCE by B — the dispatch+
             # readback round-trip cancels instead of being amortised.
@@ -180,8 +190,20 @@ def main(argv=None) -> None:
         # platform block_until_ready can return before execution finishes.
         import itertools
 
-        run1, run2 = make(inner), make(2 * inner)
         seeds = iter(jnp.float32(1e-6 * (k + 1)) for k in itertools.count())
+        # Calibrate the fold length against a measured single run: the
+        # fixed ~8 GB traffic budget assumed TPU rates; on the CPU
+        # interpret-mode path a small-n kernel can take ~10 ms per fold and
+        # the budgeted 1e5 folds became the round-2 test-suite 'hang'.
+        # Target <= ~1.5 s per timed fold, never above the traffic budget.
+        run_cal = make(1)
+        float(run_cal(next(seeds), *kargs))  # compile outside the timing
+        t0 = time.perf_counter()
+        float(run_cal(next(seeds), *kargs))
+        t_single = max(time.perf_counter() - t0, 1e-7)
+        inner = int(min(inner, max(4, 1.5 / t_single)))
+
+        run1, run2 = make(inner), make(2 * inner)
         t1 = _bench(lambda: float(run1(next(seeds), *kargs)), repeats)
         t2 = _bench(lambda: float(run2(next(seeds), *kargs)), repeats)
         return max(t2 - t1, 1e-9) / inner

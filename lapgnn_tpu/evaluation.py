@@ -26,6 +26,36 @@ from .train.loss import greedy_primal_upper
 __all__ = ["evaluate_pipeline"]
 
 
+class DualGNNPredictor:
+    """Adapter exposing WarmStartPipeline's ``predict_duals`` surface for
+    DualGNN so ``evaluation.evaluate_pipeline`` can score both models with
+    the same code path (v from the min-trick, as gnn/eval.py:119 does —
+    v_hint is a training aid, not the serving column dual)."""
+
+    def __init__(self, model, params):
+        import jax
+
+        from .ops.dual import min_trick_v
+        from .ops.features import graph_features
+
+        self.params = jax.device_put(params)
+
+        @jax.jit
+        def predict(params, cost):
+            gf = graph_features(cost)
+            preds = model.apply(
+                params, gf.edge_feat, gf.row_feat, gf.col_feat, deterministic=True
+            )
+            u = preds["u"].astype(cost.dtype)
+            v = min_trick_v(cost, u)
+            return u, v
+
+        self._predict = predict
+
+    def predict_duals(self, cost):
+        return self._predict(self.params, cost)
+
+
 def evaluate_pipeline(
     pipe: WarmStartPipeline,
     instances: Sequence[Dict[str, np.ndarray]],
