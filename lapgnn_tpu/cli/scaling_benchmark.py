@@ -218,15 +218,16 @@ def main(argv=None) -> None:
         # large against the dev tunnel's multi-ms jitter.
         inner = max(8, int(8e9 // bytes_read))
 
-        # Measured streaming-reduce ceiling: a plain column-min (no dual
-        # shift) is the fastest single-pass reduction this chip/layout can
-        # do — the in-situ roofline the min-trick should be judged against
-        # (nominal HBM peak is not reachable by a VPU reduce).  The scalar
-        # u[0] add FUSES into the reduce (still one streaming pass) but makes
-        # the reduction depend on the per-iteration-perturbed operand — a
-        # `+ u[:1]*0` tail dependence leaves jnp.min(C) itself loop-invariant
-        # and XLA hoists it out of the scan, timing an empty loop (observed:
-        # "ceilings" of 21 TB/s at n=2048 against an 819 GB/s HBM).
+        # Streaming-reduce SELF-CHECK (demoted from "ceiling" after the
+        # round-2 advisor finding): any loop-variant reduction of the held
+        # matrix must fuse one u-dependent elementwise op into the pass
+        # (a plain jnp.min(C) is loop-invariant and XLA hoists it out of
+        # the timing scan — round 2 observed 21 TB/s "ceilings" that way),
+        # which makes this kernel the SAME fused shape as the min-trick
+        # itself.  Its GB/s is therefore a repeat measurement of the fused
+        # streaming pass, not an independent roofline: expect the min-trick
+        # within ~±noise of it, and judge absolute efficiency against the
+        # HBM nominal peak (the *_roofline_pct fields).
         t_ceil = _kernel_time(
             lambda C, u: jnp.min(C + u[0] * jnp.float32(1e-30), axis=0),
             inner, args.repeats, C1, u1,
@@ -258,9 +259,7 @@ def main(argv=None) -> None:
 
         ceil_gbs = bytes_read / t_ceil / 1e9
         entry = {
-            "stream_reduce_ceiling_gb_s": round(ceil_gbs, 2),
-            "min_trick_xla_pct_of_ceiling": round(100 * t_ceil / t_xla, 1),
-            "min_trick_pallas_pct_of_ceiling": round(100 * t_ceil / t_pls, 1),
+            "stream_reduce_selfcheck_gb_s": round(ceil_gbs, 2),
             "min_trick_xla_gb_s": round(bytes_read / t_xla / 1e9, 2),
             "min_trick_xla_roofline_pct": round(
                 100 * bytes_read / t_xla / 1e9 / args.hbm_peak_gbs, 1

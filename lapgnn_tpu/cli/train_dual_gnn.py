@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--raw-reference-loss", action="store_true",
+        help="train with the reference's unclipped, unnormalised loss "
+             "(sparse-family 1e6 sentinels then dominate the gradient; "
+             "see train/loss.clip_cost_sentinels)",
+    )
     p.add_argument("--output", type=Path, required=True)
     return p
 
@@ -53,6 +59,8 @@ def main(argv=None) -> None:
         epochs=args.epochs,
         batch_size=args.batch_size,
         seed=args.seed,
+        clip_sentinels=not args.raw_reference_loss,
+        normalize_gap=not args.raw_reference_loss,
     )
     params, history = train_dual_gnn(train_insts, val_insts, cfg)
     save_checkpoint(

@@ -43,9 +43,20 @@ class DualTrainConfig:
     min_epochs: int = 5
     patience: int = 6
     seed: int = 0
+    # Sentinel-clipped, size-normalised loss (train/loss.py): the defaults
+    # that actually converge on mixed-family data — round-2's run with the
+    # raw reference loss sat flat at ~3e5 because sparse instances' 1e6
+    # forbidden-edge sentinels dominated the greedy primal bound.
+    clip_sentinels: bool = True
+    normalize_gap: bool = True
 
 
-def make_dual_train_step(model: DualGNN, tx: optax.GradientTransformation):
+def make_dual_train_step(
+    model: DualGNN,
+    tx: optax.GradientTransformation,
+    clip_sentinels: bool = True,
+    normalize_gap: bool = True,
+):
     def loss_fn(params, cost, rng):
         gf = graph_features(cost)
         preds = model.apply(
@@ -56,7 +67,10 @@ def make_dual_train_step(model: DualGNN, tx: optax.GradientTransformation):
             deterministic=False,
             rngs={"dropout": rng},
         )
-        return dual_gnn_loss(cost, preds)
+        return dual_gnn_loss(
+            cost, preds, normalize_gap=normalize_gap,
+            clip_sentinels=clip_sentinels,
+        )
 
     @jax.jit
     def step(state: State, cost, rng):
@@ -75,12 +89,19 @@ def make_dual_train_step(model: DualGNN, tx: optax.GradientTransformation):
     return step
 
 
-def make_dual_eval_step(model: DualGNN):
+def make_dual_eval_step(
+    model: DualGNN,
+    clip_sentinels: bool = True,
+    normalize_gap: bool = True,
+):
     @jax.jit
     def step(params, cost):
         gf = graph_features(cost)
         preds = model.apply(params, gf.edge_feat, gf.row_feat, gf.col_feat)
-        _, metrics = dual_gnn_loss(cost, preds)
+        _, metrics = dual_gnn_loss(
+            cost, preds, normalize_gap=normalize_gap,
+            clip_sentinels=clip_sentinels,
+        )
         return {"primal_gap": metrics["primal_gap"], "feas": metrics["feas"]}
 
     return step
@@ -107,8 +128,14 @@ def train_dual_gnn(
     params = model.init(key, gf.edge_feat, gf.row_feat, gf.col_feat)
     state = State(params, tx.init(params), jnp.asarray(0))
 
-    train_step = make_dual_train_step(model, tx)
-    eval_step = make_dual_eval_step(model)
+    train_step = make_dual_train_step(
+        model, tx, clip_sentinels=cfg.clip_sentinels,
+        normalize_gap=cfg.normalize_gap,
+    )
+    eval_step = make_dual_eval_step(
+        model, clip_sentinels=cfg.clip_sentinels,
+        normalize_gap=cfg.normalize_gap,
+    )
 
     history: Dict[str, list] = {"train_loss": [], "val_gap_median": []}
     best_params = jax.device_get(state.params)

@@ -16,11 +16,50 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["greedy_primal_upper", "one_gnn_loss", "dual_gnn_loss", "masked_v_proj"]
+__all__ = [
+    "greedy_primal_upper",
+    "one_gnn_loss",
+    "dual_gnn_loss",
+    "masked_v_proj",
+    "clip_cost_sentinels",
+]
 
 # Masked-entry sentinel; the reference uses 1e6 after an FP16 overflow fix
 # (train_one_gnn.py:188).
 BIG = 1.0e6
+
+
+def clip_cost_sentinels(
+    cost: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    threshold: float = 0.5 * BIG,
+) -> jnp.ndarray:
+    """Clip forbidden-edge sentinels to the per-instance finite maximum.
+
+    The sparse dataset family marks forbidden edges with 1e6
+    (data/generators.DATASET_SPARSE_FORBIDDEN, reference
+    data/generators.py:68).  In the training loss those sentinels dominate
+    the greedy primal bound whenever the greedy collides into a forbidden
+    edge: one collision adds ~1e6 to the gap, so a single sparse instance
+    outweighs every real signal in the batch — round-2's DualGNN run sat at
+    train_loss ~3e5, flat for 16 epochs, because of exactly this.
+
+    Training on the CLIPPED matrix is sound: clipped <= true entrywise, so
+    dual feasibility on the clipped problem implies feasibility on the true
+    one, and the clip only alters entries that carry no cost information
+    (any optimal assignment avoids them when possible).  Serving still uses
+    the true matrix.
+    """
+    finite = cost < threshold
+    if mask is not None:
+        finite = finite & mask[..., :, None] & mask[..., None, :]
+    neg_inf = jnp.asarray(-jnp.inf, cost.dtype)
+    fmax = jnp.max(
+        jnp.where(finite, cost, neg_inf), axis=(-2, -1), keepdims=True
+    )
+    # all-sentinel instance (degenerate): leave it unclipped
+    fmax = jnp.where(jnp.isfinite(fmax), fmax, jnp.asarray(jnp.inf, cost.dtype))
+    return jnp.minimum(cost, fmax)
 
 
 def masked_v_proj(
@@ -159,13 +198,26 @@ def dual_gnn_loss(
     cost: jnp.ndarray,
     preds: Dict[str, jnp.ndarray],
     mask: Optional[jnp.ndarray] = None,
+    normalize_gap: bool = False,
+    clip_sentinels: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mean primal_gap + mean feas + 0.1 * MSE(v_hint, v_proj)
-    (train.py:299-301)."""
+    (train.py:299-301).
+
+    ``clip_sentinels`` computes the whole loss on the sentinel-clipped
+    matrix (see ``clip_cost_sentinels`` — removes the 1e6 forbidden-edge
+    domination that kept round-2's DualGNN loss flat at ~3e5);
+    ``normalize_gap`` divides the primal gap by instance size so mixed-size
+    curricula weight every size equally.  Both default off for reference
+    parity.
+    """
+    if clip_sentinels:
+        cost = clip_cost_sentinels(cost, mask)
     u_pred, v_proj, mf, primal_gap, feas = _shared_terms(cost, preds["u"], mask)
     cnt = jnp.maximum(jnp.sum(mf, axis=-1), 1.0)
     v_reg = jnp.sum((preds["v_hint"] - v_proj) ** 2 * mf, axis=-1) / cnt
-    loss = jnp.mean(primal_gap) + jnp.mean(feas) + 0.1 * jnp.mean(v_reg)
+    gap_term = primal_gap / cnt if normalize_gap else primal_gap
+    loss = jnp.mean(gap_term) + jnp.mean(feas) + 0.1 * jnp.mean(v_reg)
     metrics = {
         "primal_gap": primal_gap,
         "feas": feas,

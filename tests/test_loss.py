@@ -105,3 +105,42 @@ def test_dual_gnn_loss_runs(rng):
     loss, metrics = dual_gnn_loss(cost, preds)
     assert np.isfinite(float(loss))
     assert "v_mse" in metrics
+
+
+def test_clip_cost_sentinels_removes_forbidden_domination(rng):
+    from lapgnn_tpu.data.generators import DATASET_SPARSE_FORBIDDEN
+    from lapgnn_tpu.train.loss import clip_cost_sentinels, dual_gnn_loss
+
+    n = 24
+    C = rng.uniform(0, 1, (2, n, n))
+    forbid = rng.uniform(0, 1, (2, n, n)) < 0.6
+    # keep a diagonal feasible
+    forbid[:, np.arange(n), np.arange(n)] = False
+    C = np.where(forbid, DATASET_SPARSE_FORBIDDEN, C)
+    Cd = jnp.asarray(C, jnp.float32)
+
+    clipped = np.asarray(clip_cost_sentinels(Cd))
+    assert clipped.max() <= 1.0 + 1e-6  # sentinels clipped to finite max
+    assert np.allclose(clipped[~forbid], C[~forbid])  # real costs untouched
+
+    preds = {
+        "u": jnp.zeros((2, n), jnp.float32),
+        "v_hint": jnp.zeros((2, n), jnp.float32),
+    }
+    loss_raw, _ = dual_gnn_loss(Cd, preds)
+    loss_clip, metrics = dual_gnn_loss(
+        Cd, preds, clip_sentinels=True, normalize_gap=True
+    )
+    # raw loss is sentinel-dominated (greedy collisions pay ~1e6 each);
+    # the clipped+normalised loss is at the real cost scale
+    assert float(loss_raw) > 1e4
+    assert float(loss_clip) < 1e2
+    assert np.isfinite(float(loss_clip))
+
+
+def test_clip_sentinels_all_sentinel_instance_unclipped(rng):
+    from lapgnn_tpu.train.loss import clip_cost_sentinels
+
+    C = jnp.full((1, 8, 8), 1.0e6, jnp.float32)
+    out = np.asarray(clip_cost_sentinels(C))
+    np.testing.assert_allclose(out, 1.0e6)
