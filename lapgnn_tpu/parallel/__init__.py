@@ -5,6 +5,11 @@ from .dual import (
     dual_mesh,
     make_sharded_dual_predict,
 )
+from .hostmesh import (
+    global_batch_from_host_local,
+    initialize_distributed,
+    make_hierarchical_mesh,
+)
 from .mesh import Mesh, NamedSharding, P, batch_sharding, make_mesh, replicated
 from .ring import ring_all_reduce_min, ring_min_trick
 from .sharded import (
@@ -21,6 +26,9 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "replicated",
+    "initialize_distributed",
+    "make_hierarchical_mesh",
+    "global_batch_from_host_local",
     "ring_all_reduce_min",
     "ring_min_trick",
     "make_dp_train_step",

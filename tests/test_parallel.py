@@ -277,3 +277,105 @@ def test_sharded_dual_predict_large_n_parity(rng):
         u, v = predict(params, C)
     np.testing.assert_allclose(np.asarray(u), u_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(v), v_ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN x ICI) hierarchical mesh (parallel/hostmesh.py)
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_hierarchical_mesh_model_axis_stays_on_ici():
+    """With 2 simulated hosts x 4 devices, every model group must lie inside
+    one host (the model axis carries per-sweep O(n) collectives)."""
+    from lapgnn_tpu.parallel import make_hierarchical_mesh
+
+    devs = jax.devices()[:8]
+    host_of = {d: i // 4 for i, d in enumerate(devs)}  # simulated grouping
+    mesh = make_hierarchical_mesh(model=2, devices=devs, devices_per_host=4)
+    assert mesh.shape == {"data": 4, "model": 2}
+    grid = np.asarray(mesh.devices)
+    for row in grid:  # one model group per data index
+        hosts = {host_of[d] for d in row}
+        assert len(hosts) == 1, f"model group spans hosts {hosts}"
+    # all devices used exactly once
+    assert {d.id for d in grid.ravel()} == {d.id for d in devs}
+
+
+@requires_8
+def test_hierarchical_mesh_rejects_model_axis_on_dcn():
+    from lapgnn_tpu.parallel import make_hierarchical_mesh
+
+    with pytest.raises(ValueError, match="ICI"):
+        make_hierarchical_mesh(
+            model=8, devices=jax.devices()[:8], devices_per_host=4
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        make_hierarchical_mesh(
+            model=1, devices=jax.devices()[:8], devices_per_host=3
+        )
+
+
+@requires_8
+def test_global_batch_from_host_local_single_process(rng):
+    """Single-process degenerate path: full batch in, correctly sharded
+    global array out (multi-process passes only the local slice — same call
+    site, exercised on real pods)."""
+    from jax.sharding import PartitionSpec as P
+
+    from lapgnn_tpu.parallel import (
+        global_batch_from_host_local,
+        make_hierarchical_mesh,
+    )
+
+    mesh = make_hierarchical_mesh(model=2, devices_per_host=4)
+    batch = rng.random((8, 16, 16)).astype(np.float32)
+    arr = global_batch_from_host_local(mesh, batch, P("data", "model", None))
+    assert arr.shape == batch.shape
+    np.testing.assert_array_equal(np.asarray(arr), batch)
+    assert arr.sharding.spec == P("data", "model", None)
+
+
+@requires_8
+def test_dp_train_step_on_hierarchical_mesh(rng):
+    """The DP step runs unchanged over the DCN-aware mesh: gradients ride
+    the (DCN-safe) data axis, row partitioning stays inside a host."""
+    from lapgnn_tpu.parallel import (
+        global_batch_from_host_local,
+        make_hierarchical_mesh,
+    )
+
+    mesh = make_hierarchical_mesh(model=2, devices_per_host=4)
+    n, batch = 16, 8
+    C = np.stack([FAMILIES["uniform"](n, rng) for _ in range(batch)]).astype(
+        np.float32
+    )
+    u_t = rng.normal(0, 0.1, (batch, n)).astype(np.float32)
+    model = OneGNN(hidden=16, layers=1)
+    Cd = jnp.asarray(C)
+    params = model.init(jax.random.key(0), row_features(Cd), cost=Cd)
+    tx = make_optimizer(1e-3)
+    dp_step = make_dp_train_step(model, tx, mesh, use_cost=True, shard_rows=True)
+    state = State(params, tx.init(params), jnp.asarray(0))
+    with mesh:
+        Cg = global_batch_from_host_local(mesh, C)
+        state, m = dp_step(state, Cg, jnp.asarray(u_t), jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_initialize_distributed_noop_without_coordinator(monkeypatch):
+    from lapgnn_tpu.parallel import initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert initialize_distributed() is False
+
+
+def test_initialize_distributed_rejects_partial_config(monkeypatch):
+    from lapgnn_tpu.parallel import initialize_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="num_processes"):
+        initialize_distributed()
