@@ -69,7 +69,9 @@ def main(argv=None) -> None:
     if args.dual_gnn:
         dparams, dmeta, _ = load_checkpoint(args.dual_gnn)
         dual = build_model_from_meta(dmeta)
-        models["dual_gnn"] = DualGNNPredictor(dual, dparams)
+        models["dual_gnn"] = DualGNNPredictor(
+            dual, dparams, seed_mode=args.seed_mode
+        )
 
     ladder = {}
     for name, pipe in models.items():

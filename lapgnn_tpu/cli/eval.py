@@ -43,7 +43,7 @@ def main(argv=None) -> None:
         # smoke tests).  u is served identically; v via the min-trick.
         from ..evaluation import DualGNNPredictor
 
-        pipe = DualGNNPredictor(model, params)
+        pipe = DualGNNPredictor(model, params, seed_mode=args.seed_mode)
     else:
         pipe = WarmStartPipeline(
             model,

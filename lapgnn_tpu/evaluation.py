@@ -30,14 +30,23 @@ class DualGNNPredictor:
     """Adapter exposing WarmStartPipeline's ``predict_duals`` surface for
     DualGNN so ``evaluation.evaluate_pipeline`` can score both models with
     the same code path (v from the min-trick, as gnn/eval.py:119 does —
-    v_hint is a training aid, not the serving column dual)."""
+    v_hint is a training aid, not the serving column dual).
 
-    def __init__(self, model, params):
+    ``seed_mode`` mirrors the OneGNN pipeline's serving default: the rank-1
+    analytic candidate (ops/rank1.py) is model-agnostic, so a fair
+    model-vs-model ladder must give BOTH sides the same auto-selection —
+    scoring DualGNN on raw GNN duals while OneGNN gets the per-instance
+    best-of-two conflates the model gap with the seed-selection feature."""
+
+    def __init__(self, model, params, seed_mode: str = "gnn"):
         import jax
 
         from .ops.dual import min_trick_v
         from .ops.features import graph_features
+        from .ops.rank1 import rank1_duals, select_best_seed
 
+        if seed_mode not in ("gnn", "rank1", "auto"):
+            raise ValueError("seed_mode must be 'gnn', 'rank1', or 'auto'")
         self.params = jax.device_put(params)
 
         @jax.jit
@@ -47,6 +56,11 @@ class DualGNNPredictor:
                 params, gf.edge_feat, gf.row_feat, gf.col_feat, deterministic=True
             )
             u = preds["u"].astype(cost.dtype)
+            if seed_mode == "rank1":
+                u, _ = rank1_duals(cost)
+            elif seed_mode == "auto":
+                u_r1, _ = rank1_duals(cost)
+                return select_best_seed(cost, (u, u_r1), min_trick=min_trick_v)
             v = min_trick_v(cost, u)
             return u, v
 

@@ -193,3 +193,45 @@ def test_one_gnn_topk_impl_parity(one_gnn_setup):
     ua = a.apply(params, feats, cost=Ct)["u"]
     ub = b.apply(params, feats, cost=Ct)["u"]
     np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+
+
+def test_dual_gnn_predictor_seed_modes(rng):
+    """DualGNNPredictor mirrors the pipeline's seed auto-selection so the
+    accuracy ladder compares models under the same serving posture: 'auto'
+    must never be worse (by projected dual objective) than either candidate
+    alone."""
+    import jax.numpy as jnp
+
+    from lapgnn_tpu.evaluation import DualGNNPredictor
+    from lapgnn_tpu.models import DualGNN
+    from lapgnn_tpu.ops.features import graph_features
+
+    n = 24
+    # rank-1-dominant instance: the analytic seed should win the selection
+    a = rng.random(n)[:, None]
+    b = rng.random(n)[None, :]
+    C = (a + b + 0.01 * rng.random((n, n))).astype(np.float32)[None]
+
+    model = DualGNN(hidden_dim=16, layers=1, heads=2, dropout=0.0)
+    gf = graph_features(jnp.asarray(C))
+    params = model.init(
+        jax.random.key(0), gf.edge_feat, gf.row_feat, gf.col_feat
+    )
+
+    def objective(u, v):
+        return float(jnp.sum(u) + jnp.sum(v))
+
+    scores = {}
+    for mode in ("gnn", "rank1", "auto"):
+        u, v = DualGNNPredictor(model, params, seed_mode=mode).predict_duals(
+            jnp.asarray(C)
+        )
+        assert u.shape == (1, n) and v.shape == (1, n)
+        # feasibility of the projected duals: u_i + v_j <= C_ij (+eps)
+        slack = np.asarray(C)[0] - np.asarray(u)[0][:, None] - np.asarray(v)[0][None, :]
+        assert slack.min() > -1e-4
+        scores[mode] = objective(u, v)
+
+    assert scores["auto"] >= max(scores["gnn"], scores["rank1"]) - 1e-5
+    with pytest.raises(ValueError):
+        DualGNNPredictor(model, params, seed_mode="bogus")
