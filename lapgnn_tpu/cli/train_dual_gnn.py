@@ -22,6 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--min-epochs", type=int, default=5)
+    p.add_argument("--patience", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--raw-reference-loss", action="store_true",
@@ -58,6 +60,8 @@ def main(argv=None) -> None:
         lr=args.lr,
         epochs=args.epochs,
         batch_size=args.batch_size,
+        min_epochs=args.min_epochs,
+        patience=args.patience,
         seed=args.seed,
         clip_sentinels=not args.raw_reference_loss,
         normalize_gap=not args.raw_reference_loss,
