@@ -27,9 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--raw-reference-loss", action="store_true",
-        help="train with the reference's unclipped, unnormalised loss "
-             "(sparse-family 1e6 sentinels then dominate the gradient; "
-             "see train/loss.clip_cost_sentinels)",
+        help="train with the reference's unclipped, unnormalised, "
+             "unsupervised loss (sparse-family 1e6 sentinels then dominate "
+             "the gradient and the oracle-dual u-MSE term is dropped; see "
+             "train/loss.dual_gnn_loss)",
     )
     p.add_argument("--output", type=Path, required=True)
     return p
@@ -65,6 +66,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         clip_sentinels=not args.raw_reference_loss,
         normalize_gap=not args.raw_reference_loss,
+        supervise_duals=not args.raw_reference_loss,
     )
     params, history = train_dual_gnn(train_insts, val_insts, cfg)
     save_checkpoint(

@@ -49,6 +49,10 @@ class DualTrainConfig:
     # forbidden-edge sentinels dominated the greedy primal bound.
     clip_sentinels: bool = True
     normalize_gap: bool = True
+    # Oracle-dual supervision (0.1 * gauge-corrected u-MSE; not in the
+    # reference, which trains DualGNN purely unsupervised while giving the
+    # OneGNN trainer exactly this term — see train/loss.dual_gnn_loss).
+    supervise_duals: bool = True
 
 
 def make_dual_train_step(
@@ -56,8 +60,9 @@ def make_dual_train_step(
     tx: optax.GradientTransformation,
     clip_sentinels: bool = True,
     normalize_gap: bool = True,
+    supervise_duals: bool = True,
 ):
-    def loss_fn(params, cost, rng):
+    def loss_fn(params, cost, u_target, rng):
         gf = graph_features(cost)
         preds = model.apply(
             params,
@@ -70,12 +75,13 @@ def make_dual_train_step(
         return dual_gnn_loss(
             cost, preds, normalize_gap=normalize_gap,
             clip_sentinels=clip_sentinels,
+            u_target=u_target if supervise_duals else None,
         )
 
     @jax.jit
-    def step(state: State, cost, rng):
+    def step(state: State, cost, u_target, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, cost, rng
+            state.params, cost, u_target, rng
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -131,6 +137,7 @@ def train_dual_gnn(
     train_step = make_dual_train_step(
         model, tx, clip_sentinels=cfg.clip_sentinels,
         normalize_gap=cfg.normalize_gap,
+        supervise_duals=cfg.supervise_duals,
     )
     eval_step = make_dual_eval_step(
         model, clip_sentinels=cfg.clip_sentinels,
@@ -147,7 +154,7 @@ def train_dual_gnn(
         losses = []
         for cost, u, v in batcher:
             key, sub = jax.random.split(key)
-            state, m = train_step(state, jnp.asarray(cost), sub)
+            state, m = train_step(state, jnp.asarray(cost), jnp.asarray(u), sub)
             losses.append(float(m["loss"]))
         history["train_loss"].append(float(np.mean(losses)) if losses else 0.0)
 

@@ -200,6 +200,7 @@ def dual_gnn_loss(
     mask: Optional[jnp.ndarray] = None,
     normalize_gap: bool = False,
     clip_sentinels: bool = False,
+    u_target: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mean primal_gap + mean feas + 0.1 * MSE(v_hint, v_proj)
     (train.py:299-301).
@@ -210,6 +211,16 @@ def dual_gnn_loss(
     ``normalize_gap`` divides the primal gap by instance size so mixed-size
     curricula weight every size equally.  Both default off for reference
     parity.
+
+    ``u_target`` (optional, NOT in the reference) adds 0.1 * gauge-corrected
+    MSE(u, u*) against the oracle duals every dataset already carries — the
+    OneGNN trainer has had this supervision from the start
+    (train_one_gnn.py:215-219) while the reference trains DualGNN purely
+    unsupervised, which is half the reason its "gold standard" trails the
+    production model on near-solved families.  Gauge correction (remove the
+    per-instance mean difference) matters: (u + c, v - c) is the same dual
+    point, so penalising the raw shift would fight the primal/feas terms
+    over an unidentifiable degree of freedom.
     """
     if clip_sentinels:
         cost = clip_cost_sentinels(cost, mask)
@@ -224,4 +235,10 @@ def dual_gnn_loss(
         "v_mse": v_reg,
         "v_proj": v_proj,
     }
+    if u_target is not None:
+        diff = (u_pred - u_target) * mf
+        shift = jnp.sum(diff, axis=-1, keepdims=True) / cnt[..., None]
+        u_reg = jnp.sum((diff - shift * mf) ** 2, axis=-1) / cnt
+        loss = loss + 0.1 * jnp.mean(u_reg)
+        metrics["u_mse_gauge"] = u_reg
     return loss, metrics

@@ -144,3 +144,27 @@ def test_clip_sentinels_all_sentinel_instance_unclipped(rng):
     C = jnp.full((1, 8, 8), 1.0e6, jnp.float32)
     out = np.asarray(clip_cost_sentinels(C))
     np.testing.assert_allclose(out, 1.0e6)
+
+
+def test_dual_gnn_loss_supervision_is_gauge_invariant(rng):
+    """The u_target term must penalise shape, not the unidentifiable gauge:
+    shifting u_pred by a constant changes primal/feas but NOT the
+    supervision term, and a gauge-shifted target scores identically."""
+    cost = jnp.asarray(np.stack([FAMILIES["uniform"](10, rng) for _ in range(2)]))
+    u_t = jnp.asarray(rng.normal(0, 0.2, (2, 10)).astype(np.float32))
+    preds = {"u": jnp.zeros((2, 10)), "v_hint": jnp.zeros((2, 10))}
+
+    _, m0 = dual_gnn_loss(cost, preds, u_target=u_t)
+    _, m1 = dual_gnn_loss(cost, preds, u_target=u_t + 3.7)
+    np.testing.assert_allclose(
+        np.asarray(m0["u_mse_gauge"]), np.asarray(m1["u_mse_gauge"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # exact-up-to-gauge prediction => zero supervision term
+    preds_exact = {"u": u_t - 1.25, "v_hint": jnp.zeros((2, 10))}
+    _, m2 = dual_gnn_loss(cost, preds_exact, u_target=u_t)
+    assert float(np.abs(np.asarray(m2["u_mse_gauge"])).max()) < 1e-9
+    # and the term increases the loss for a wrong prediction
+    l_sup, _ = dual_gnn_loss(cost, preds, u_target=u_t)
+    l_uns, _ = dual_gnn_loss(cost, preds)
+    assert float(l_sup) > float(l_uns)
