@@ -65,7 +65,10 @@ def initialize_distributed(
     autodetect = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
     if addr is None and not autodetect:
         return False
-    if jax.process_count() > 1:  # already initialized
+    # Already-initialized check must NOT touch the backend:
+    # jax.process_count() would initialise XLA, after which
+    # jax.distributed.initialize() hard-errors.
+    if jax.distributed.is_initialized():
         return True
     kwargs = {}
     if addr is not None:
