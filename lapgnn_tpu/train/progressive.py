@@ -236,9 +236,19 @@ def train_progressive(
         for spec, cost, u in sampler:
             key, sub = jax.random.split(key)
             state, m = train_step(state, jnp.asarray(cost), jnp.asarray(u), sub)
-            # Keep the device array: float() here would force a host sync
-            # every step and serialise dispatch with batch assembly.
-            losses.append(m["loss"])
+            # Small sizes: keep the device array — float() would force a
+            # host sync every step and serialise dispatch with batch
+            # assembly.  Large sizes: SYNC (D2H scalar readback).  Without
+            # it nothing blocks until the epoch-end loss reduction, so the
+            # whole epoch's H2D batches stay in flight — at n>=4096 that is
+            # 0.5-1 GB per step, and the remote-platform client mirrors
+            # each transfer on the host: the round-3 512..8192 curriculum
+            # was OOM-killed at 130 GB RSS in epoch 3 exactly this way.
+            # The sync costs nothing at these sizes (the step itself runs
+            # seconds; dispatch overlap only matters for the small shapes).
+            losses.append(
+                float(m["loss"]) if spec.size >= 2048 else m["loss"]
+            )
         history["train_loss"].append(
             float(np.mean([float(l) for l in losses])) if losses else 0.0
         )
