@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--per-family", action="store_true", default=True)
     p.add_argument(
         "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
-        help="dual-seed source for the OneGNN pipeline (ops/rank1.py)",
+        help="dual-seed source for BOTH models' serving posture: GNN, "
+             "rank-1 analytic, or per-instance best (ops/rank1.py)",
     )
     p.add_argument("--output", type=Path, default=None)
     return p

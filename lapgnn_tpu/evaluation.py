@@ -38,7 +38,7 @@ class DualGNNPredictor:
     scoring DualGNN on raw GNN duals while OneGNN gets the per-instance
     best-of-two conflates the model gap with the seed-selection feature."""
 
-    def __init__(self, model, params, seed_mode: str = "gnn"):
+    def __init__(self, model, params, seed_mode: str = "auto"):
         import jax
 
         from .ops.dual import min_trick_v
@@ -47,6 +47,10 @@ class DualGNNPredictor:
 
         if seed_mode not in ("gnn", "rank1", "auto"):
             raise ValueError("seed_mode must be 'gnn', 'rank1', or 'auto'")
+        # Default matches WarmStartPipeline's serving default ('auto') so a
+        # default-constructed predictor scores the same posture; also read
+        # by evaluate_pipeline's rank1_seed_win_rate telemetry gate.
+        self.seed_mode = seed_mode
         self.params = jax.device_put(params)
 
         @jax.jit

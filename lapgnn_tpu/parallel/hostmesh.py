@@ -61,7 +61,9 @@ def initialize_distributed(
     BEFORE any other JAX API, once per process; after it, ``jax.devices()``
     is global and the meshes built here span all hosts.
     """
-    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # `or None`: a set-but-empty env var (launcher templates export
+    # JAX_COORDINATOR_ADDRESS="") must mean "unset", not "configured".
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS") or None
     autodetect = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
     if addr is None and not autodetect:
         return False

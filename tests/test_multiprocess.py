@@ -99,16 +99,9 @@ def test_two_process_hierarchical_mesh(tmp_path):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
-        env.update(
-            {
-                "COORD": coord,
-                "PID_IDX": str(pid),
-                "LAPGNN_REPO": repo,
-                # the coordinator service needs its own port space; drop any
-                # inherited distribution config
-                "JAX_COORDINATOR_ADDRESS": "",
-            }
-        )
+        env.update({"COORD": coord, "PID_IDX": str(pid), "LAPGNN_REPO": repo})
+        # drop any inherited distribution config; the worker passes the
+        # coordinator explicitly
         env.pop("JAX_COORDINATOR_ADDRESS", None)
         procs.append(
             subprocess.Popen(
