@@ -36,6 +36,11 @@ __all__ = ["DatasetSpec", "RoundRobinSampler", "train_progressive", "default_bat
 # Size-dependent batch-size rules (train_progressive_clean.py:128-143).
 BATCH_SIZE_RULES: List[Tuple[int, int]] = [(1024, 32), (2048, 16), (4096, 8)]
 
+# Datasets at or above this size are device-cached under
+# training.device_cache (below it streaming H2D is cheap); module-level so
+# tests can exercise the cache path on tiny instances.
+DEVICE_CACHE_MIN_N = 2048
+
 
 def default_batch_size(n: int, rules: Optional[Sequence[Tuple[int, int]]] = None) -> int:
     for bound, bs in rules or BATCH_SIZE_RULES:
@@ -83,7 +88,26 @@ class RoundRobinSampler:
             order = np.concatenate([order, order[:pad]])
         return [order[i : i + bs] for i in range(0, len(order), bs)]
 
+    @staticmethod
+    def materialize(
+        spec: DatasetSpec, idx: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Stack the selected instances into f32 (cost, u) batch arrays."""
+        insts = [spec.instances[k] for k in idx]
+        cost = np.stack([x["cost"] for x in insts]).astype(np.float32)
+        u = np.stack([x["u"] for x in insts]).astype(np.float32)
+        return cost, u
+
     def __iter__(self) -> Iterator[Tuple[DatasetSpec, np.ndarray, np.ndarray]]:
+        for spec, idx in self.iter_indices():
+            cost, u = self.materialize(spec, idx)
+            yield spec, cost, u
+
+    def iter_indices(self) -> Iterator[Tuple[DatasetSpec, np.ndarray]]:
+        """Round-robin walk yielding (spec, instance-index array) — the
+        array-free form that lets the trainer source batches from a
+        device-resident dataset cache instead of re-uploading (see
+        train_progressive's device_cache)."""
         active = [s for s in self.specs if s.curriculum_start_epoch <= self.epoch]
         if not active:
             return
@@ -111,11 +135,7 @@ class RoundRobinSampler:
                             done = True
                             break
                         queues[i] = self._batches_for(spec)
-                    idx = queues[i].pop()
-                    insts = [spec.instances[k] for k in idx]
-                    cost = np.stack([x["cost"] for x in insts]).astype(np.float32)
-                    u = np.stack([x["u"] for x in insts]).astype(np.float32)
-                    yield spec, cost, u
+                    yield spec, queues[i].pop()
 
 
 def train_progressive(
@@ -155,6 +175,9 @@ def train_progressive(
     epochs = int(tcfg.get("epochs", 40))
     min_epochs = int(tcfg.get("min_epochs", 10))
     patience = int(tcfg.get("patience", 6))
+    cache_mode = str(tcfg.get("device_cache", "off")).lower()
+    if cache_mode not in ("off", "bf16", "f32"):
+        raise ValueError(f"training.device_cache must be off|bf16|f32, got {cache_mode!r}")
 
     sampler = RoundRobinSampler(
         specs,
@@ -206,6 +229,50 @@ def train_progressive(
     )
     eval_step = make_eval_step(model, use_cost, normalize_costs=normalize_costs)
 
+    # Device-resident dataset cache (training.device_cache: bf16|f32).  The
+    # curriculum re-uploads the SAME fixed instances every epoch — at
+    # n>=4096 that is ~13 GB of H2D per epoch, and on the remote-attached
+    # dev platform each transfer both crawls (~1 GB batches over the
+    # tunnel dominated epoch time) and leaks host-side mirror memory (the
+    # round-3 512..8192 run grew ~11 GB RSS per epoch even with per-step
+    # syncs and died at 130 GB).  Caching uploads each instance ONCE and
+    # sources every batch with an on-device gather; bf16 halves the
+    # resident bytes (train-time costs are rounded to bf16 before the f32
+    # upcast — the greedy-bound anchor sees the rounded instance, which is
+    # a training-time perturbation only; supervision targets and all
+    # validation stay f32).  Colocated deployments can use f32 or leave it
+    # off.
+    caches: Dict[int, Tuple] = {}
+    val_caches: Dict[int, Tuple] = {}
+    if cache_mode != "off":
+        cdt = jnp.bfloat16 if cache_mode == "bf16" else jnp.float32
+        for s in specs:
+            if s.size < DEVICE_CACHE_MIN_N:
+                continue  # small instances: streaming is cheap, skip
+            rows = [
+                jnp.asarray(np.asarray(x["cost"], np.float32)).astype(cdt)
+                for x in s.instances
+            ]
+            Cc = jnp.stack(rows)
+            del rows
+            Uc = jnp.asarray(
+                np.stack([np.asarray(x["u"], np.float32) for x in s.instances])
+            )
+            caches[id(s)] = (Cc, Uc)
+            if s.val_instances:
+                vals = list(s.val_instances)[:50]
+                Vc = jnp.asarray(
+                    np.stack([np.asarray(x["cost"], np.float32) for x in vals])
+                )
+                Vu = jnp.asarray(
+                    np.stack([np.asarray(x["u"], np.float32) for x in vals])
+                )
+                val_caches[id(s)] = (Vc, Vu)
+            log_fn(
+                f"device-cached {s.name}: train {Cc.shape} as {cache_mode}"
+                + (", val f32" if id(s) in val_caches else "")
+            )
+
     out_dir = Path(ccfg.get("output_dir", "artifacts/progressive"))
     meta_base = {
         "architecture": "one_gnn",
@@ -233,9 +300,17 @@ def train_progressive(
         t0 = time.perf_counter()
         sampler.set_epoch(epoch)
         losses = []
-        for spec, cost, u in sampler:
+        for spec, idx in sampler.iter_indices():
             key, sub = jax.random.split(key)
-            state, m = train_step(state, jnp.asarray(cost), jnp.asarray(u), sub)
+            if id(spec) in caches:
+                Cc, Uc = caches[id(spec)]
+                ib = jnp.asarray(np.asarray(idx))
+                cost_d = jnp.take(Cc, ib, axis=0).astype(jnp.float32)
+                u_d = jnp.take(Uc, ib, axis=0)
+            else:
+                cost, u = sampler.materialize(spec, idx)
+                cost_d, u_d = jnp.asarray(cost), jnp.asarray(u)
+            state, m = train_step(state, cost_d, u_d, sub)
             # Small sizes: keep the device array — float() would force a
             # host sync every step and serialise dispatch with batch
             # assembly.  Large sizes: SYNC (D2H scalar readback).  Without
@@ -262,11 +337,16 @@ def train_progressive(
             gaps = []
             bs = default_batch_size(spec.size)
             for s in range(0, min(len(vals), 50), bs):
-                chunk = vals[s : min(s + bs, 50)]
-                cost = jnp.asarray(
-                    np.stack([x["cost"] for x in chunk]), jnp.float32
-                )
-                u = jnp.asarray(np.stack([x["u"] for x in chunk]), jnp.float32)
+                if id(spec) in val_caches:
+                    Vc, Vu = val_caches[id(spec)]
+                    cost = Vc[s : min(s + bs, 50)]
+                    u = Vu[s : min(s + bs, 50)]
+                else:
+                    chunk = vals[s : min(s + bs, 50)]
+                    cost = jnp.asarray(
+                        np.stack([x["cost"] for x in chunk]), jnp.float32
+                    )
+                    u = jnp.asarray(np.stack([x["u"] for x in chunk]), jnp.float32)
                 m = eval_step(state.params, cost, u)
                 gaps.extend(np.asarray(m["primal_gap"]).tolist())
             if gaps:

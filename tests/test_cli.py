@@ -245,3 +245,44 @@ checkpointing:
     assert (out_dir / "best" / "meta.json").exists() or (
         out_dir / "last" / "meta.json"
     ).exists()
+
+
+def test_train_progressive_cli_device_cache(tiny_ds, tmp_path, monkeypatch):
+    """device_cache: bf16 — batches come from the on-device dataset cache
+    (one upload per instance, gather per batch) and training still
+    converges to a checkpoint.  The 2048 size gate is lowered so the tiny
+    fixture exercises the cache path."""
+    from lapgnn_tpu.cli import train_progressive
+    from lapgnn_tpu.train import progressive as prog
+
+    monkeypatch.setattr(prog, "DEVICE_CACHE_MIN_N", 8)
+    cfg = tmp_path / "prog_cache.yaml"
+    out_dir = tmp_path / "prog_cache_ckpt"
+    cfg.write_text(
+        f"""
+datasets:
+  - name: tiny16
+    path: {tiny_ds / 'train.h5'}
+    val_path: {tiny_ds / 'val.h5'}
+    size: 16
+model:
+  hidden: 16
+  layers: 1
+  topk: 4
+  use_cost_refinement: true
+optimizer:
+  lr: 1.0e-3
+sampling:
+  batches_per_size: 1
+training:
+  epochs: 1
+  min_epochs: 1
+  device_cache: bf16
+checkpointing:
+  output_dir: {out_dir}
+"""
+    )
+    train_progressive.main(["--config", str(cfg)])
+    assert (out_dir / "best" / "meta.json").exists() or (
+        out_dir / "last" / "meta.json"
+    ).exists()
