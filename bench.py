@@ -38,8 +38,10 @@ The model comes from ``artifacts/one_gnn_default/`` (trained checkpoint in
 the repo); without it an untrained OneGNN still produces exactly optimal
 results via the solver's quality gate, just slower.
 
-vs_baseline compares against the reference's published mean end-to-end
-speedup on uniform datasets: 1.84x (README.md:265, BASELINE.md).
+vs_baseline compares the headline MEDIAN against the reference's published
+median end-to-end speedup on uniform datasets (1.95x); the mean-vs-mean pair
+(ours vs 1.84x) is reported alongside so the estimators never mix
+(README.md:265, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -53,7 +55,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-REFERENCE_SPEEDUP = 1.84  # BASELINE.md: mean e2e speedup vs SciPy, uniform
+# BASELINE.md (reference README.md:265): e2e speedup vs SciPy on uniform —
+# both estimators kept so vs_baseline compares like for like (the headline
+# value is a median, so it divides by the reference MEDIAN; the mean pair is
+# reported alongside — round 3 mixed the two, see ADVICE r3 #1).
+REFERENCE_SPEEDUP_MEDIAN = 1.95
+REFERENCE_SPEEDUP_MEAN = 1.84
 N = 2048
 N_INSTANCES = 10
 REPEATS = 7
@@ -172,6 +179,7 @@ def main() -> None:
 
     sp = np.asarray(resident_speedups)
     value = float(np.median(sp))
+    value_mean = float(np.mean(sp))
     q1, q3 = float(np.percentile(sp, 25)), float(np.percentile(sp, 75))
     print(
         f"# resident speedup: median {value:.3f}x  IQR [{q1:.3f}, {q3:.3f}] "
@@ -230,6 +238,7 @@ def main() -> None:
         outs = pipe_bf16.solve_stream(stream64, certify=True)
         t_bf16 = (time.perf_counter() - t0) / len(stream64)
         n_cert = sum(int(o["certified"].all()) for o in outs)
+        n_rep = sum(int(o["repaired"].all()) for o in outs)
         n_pol = sum(int(o["polished"].any()) for o in outs)
         pol_ms = [float(o["polish_ms"].max()) for o in outs if o["polished"].any()]
         for C, o in zip(stream64, outs):
@@ -239,15 +248,18 @@ def main() -> None:
             assert o["certified"].all() and abs(got - opt) <= 1e-9 * max(
                 1.0, abs(opt)
             ), (got, opt)
+        bf16_speedup = t_scipy_ref / t_bf16
         print(
             f"# streamed-pipelined bf16+certify (exact): "
             f"{t_bf16 * 1e3:.1f}ms/instance, speedup "
-            f"{t_scipy_ref / t_bf16:.3f}x  "
-            f"[certified {n_cert}/{len(outs)}, polished {n_pol}/{len(outs)}, "
+            f"{bf16_speedup:.3f}x  "
+            f"[certified {n_cert}/{len(outs)}, repaired {n_rep}/{len(outs)}, "
+            f"polished {n_pol}/{len(outs)}, "
             f"polish {np.mean(pol_ms) if pol_ms else 0:.0f}ms]",
             file=sys.stderr,
         )
     except Exception as exc:
+        bf16_speedup = None
         print(f"# streamed bf16 posture failed: {exc}", file=sys.stderr)
 
     # Batched throughput (secondary): amortises the fixed dispatch/readback.
@@ -274,16 +286,35 @@ def main() -> None:
         )
     except Exception as exc:  # secondary metric must never kill the headline
         print(f"# batched throughput failed: {exc}", file=sys.stderr)
+    # K-differencing subtracts two jittery wall-clock measurements; tunnel
+    # noise can push the difference negative, which is a measurement
+    # artifact, not a sub-zero latency — flag it instead of reporting it.
+    if device_ms is not None and device_ms <= 0.0:
+        print(
+            f"# warning: K-differenced device time {device_ms:.2f}ms <= 0 "
+            "(tunnel jitter artifact) — reported as null",
+            file=sys.stderr,
+        )
+        device_ms = None
     print(
         json.dumps(
             {
                 "metric": f"e2e_speedup_vs_scipy_uniform_n{N}",
                 "value": round(value, 4),
                 "unit": "x",
-                "vs_baseline": round(value / REFERENCE_SPEEDUP, 4),
+                # median vs the reference's published MEDIAN (1.95); the
+                # mean-vs-mean pair is alongside (estimators must match).
+                "vs_baseline": round(value / REFERENCE_SPEEDUP_MEDIAN, 4),
+                "mean": round(value_mean, 4),
+                "vs_baseline_mean": round(value_mean / REFERENCE_SPEEDUP_MEAN, 4),
                 "iqr": [round(q1, 4), round(q3, 4)],
                 "n_instances": N_INSTANCES,
-                "device_solve_ms": round(device_ms, 2) if device_ms else None,
+                "device_solve_ms": (
+                    round(device_ms, 2) if device_ms is not None else None
+                ),
+                "streamed_bf16_exact_speedup": (
+                    round(bf16_speedup, 4) if bf16_speedup is not None else None
+                ),
             }
         )
     )

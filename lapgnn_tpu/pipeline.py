@@ -230,6 +230,14 @@ class WarmStartPipeline:
         Pack bf16 with vectorised uint bit ops instead: round-to-nearest-even
         on the f32 image (add 0x7FFF + lsb, shift), bit-identical to the
         ml_dtypes/XLA cast for all finite inputs, ~10 ms.
+
+        float64 inputs round TWICE (f64 -> f32 -> bf16), so boundary values
+        that a direct f64 -> bf16 round-to-nearest would tie-break the other
+        way land one ulp off, and NaN inputs map to +inf (the bit trick
+        carries NaN payloads into the exponent).  Both are acceptable here
+        because every lossy-transfer result is certify-gated against the
+        true f64 matrix and repaired/polished on failure — the transfer
+        image only seeds the solve, it never defines the answer.
         """
         if self._xfer_dtype == jnp.bfloat16:
             a32 = np.ascontiguousarray(c, np.float32)
@@ -278,6 +286,9 @@ class WarmStartPipeline:
             B = len(out["cost"])
             out["certified"] = np.ones(B, bool)
             out["gap_bound"] = np.zeros(B)
+            out["repaired"] = np.zeros(B, bool)
+            out["polished"] = np.zeros(B, bool)
+            out["polish_ms"] = np.zeros(B)
         return out
 
     @staticmethod
@@ -293,43 +304,75 @@ class WarmStartPipeline:
     ) -> None:
         """Float64 exactness pass against the TRUE cost matrix, in place.
 
+        Certification order (cheapest sufficient proof wins):
+          1. Warm-started native dual REPAIR (solver/native
+             ``repair_duals_native``): drive the device's column duals to the
+             min-plus fixpoint of the difference constraints the assignment
+             induces on the true f64 matrix — ~2 dense passes (~20 ms at
+             n=2048).  Succeeds iff the device assignment is exactly optimal
+             for the true matrix, with a ZERO complementary-slackness gap —
+             in the bf16-transfer posture the assignment survives the
+             rounding essentially always, only the duals need repair, so
+             this replaces the ~170 ms native re-solve round 3 paid on every
+             instance (docs/KNOWN_GAPS.md r3 §3).
+          2. Raw f64 certificate with the device duals as-is (native
+             unavailable, or repair rejected the assignment outright).
+          3. Native f64 polish warm-started from the device duals — unless
+             the device result is unusable (NaN duals, non-bijective x from
+             a poisoned input), which cold-solves.
+
         Certified entries get the f64 cost of their assignment (the device
         value is an f32 accumulation of the transfer-dtype-cast C and drifts
         at large n even when the assignment itself is exactly optimal).
-        Failed certificates are polished by warm-starting the native f64
-        solver from the device duals — unless the device result is unusable
-        (NaN duals, non-bijective x from a poisoned input), which cold-solves.
-        Adds 'certified' and 'gap_bound' arrays to ``out``.
+        Adds 'certified', 'gap_bound', 'repaired', 'polished', 'polish_ms'.
         """
         import time as _time
 
+        from .solver.native import NativeSolveError, repair_duals_native
         from .solver.verification import certify_assignment
 
         n = cost_np.shape[-1]
         v_all = packed[:, 2 + n :].astype(np.float64)
         certified = np.zeros(packed.shape[0], bool)
         gap_bound = np.zeros(packed.shape[0])
+        repaired = np.zeros(packed.shape[0], bool)
         polished = np.zeros(packed.shape[0], bool)
         polish_ms = np.zeros(packed.shape[0])
         for b in range(packed.shape[0]):
-            ok, _, bound = certify_assignment(
-                cost_np[b], out["col_of_row"][b], v_all[b],
-                tol=self.certify_tol,
+            x_b = out["col_of_row"][b]
+            ok = False
+            bound = float("inf")
+            usable = (
+                np.array_equal(np.sort(x_b), np.arange(n))
+                and np.isfinite(v_all[b]).all()
             )
+            if usable:
+                try:
+                    rep = repair_duals_native(cost_np[b], x_b, v_all[b])
+                except NativeSolveError:
+                    rep = None  # toolchain missing -> raw certificate below
+                if rep is not None and np.isfinite(rep[1]):
+                    viol = max(0.0, -rep[1])
+                    ok = viol <= self.certify_tol
+                    bound = n * viol
+            if not ok:
+                # Raw certificate with the unrepaired duals (covers the
+                # native-unavailable case; free when repair already failed).
+                ok, _, bound = certify_assignment(
+                    cost_np[b], x_b, v_all[b], tol=self.certify_tol
+                )
+            else:
+                repaired[b] = True
             certified[b], gap_bound[b] = ok, bound
             if ok:
                 out["cost"][b] = float(
-                    cost_np[b][np.arange(n), out["col_of_row"][b]].sum()
+                    cost_np[b][np.arange(n), x_b].sum()
                 )
             else:
                 from .solver.native import lapjv_native, lapjv_seeded_native
 
                 t0 = _time.perf_counter()
-                x_b = out["col_of_row"][b]
-                valid = (
-                    np.array_equal(np.sort(x_b), np.arange(n))
-                    and np.isfinite(v_all[b]).all()
-                )
+                valid = usable
                 if valid:
                     u_b = cost_np[b][np.arange(n), x_b] - v_all[b][x_b]
                     x, _, c, info = lapjv_seeded_native(
@@ -364,6 +407,7 @@ class WarmStartPipeline:
                 polish_ms[b] = (_time.perf_counter() - t0) * 1e3
         out["certified"] = certified
         out["gap_bound"] = gap_bound
+        out["repaired"] = repaired
         out["polished"] = polished
         out["polish_ms"] = polish_ms
 

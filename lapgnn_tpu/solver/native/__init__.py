@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["lapjv_native", "lapjv_seeded_native", "lapmod_native", "sparse_from_dense", "native_available", "NativeSolveError"]
+__all__ = ["lapjv_native", "lapjv_seeded_native", "lapmod_native", "repair_duals_native", "sparse_from_dense", "native_available", "NativeSolveError"]
 
 _SRC = Path(__file__).with_name("lapx.cpp")
 _LOCK = threading.Lock()
@@ -175,6 +175,63 @@ def lapjv_seeded_native(
     if return_info:
         return x, y, cost, {"used_fallback": bool(fb[0]), "u": u, "v": v}
     return x, y, cost
+
+
+def _bind_repair(lib: "ctypes.CDLL") -> None:
+    if getattr(lib, "_repair_bound", False):
+        return
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.lapx_repair_duals.restype = ctypes.c_int
+    lib.lapx_repair_duals.argtypes = [
+        ctypes.c_int, f64p, i32p, f64p, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib._repair_bound = True
+
+
+def repair_duals_native(
+    C: np.ndarray,
+    col_of_row: np.ndarray,
+    v0: np.ndarray,
+    max_scans: int = 0,
+) -> Optional[Tuple[np.ndarray, float]]:
+    """Warm-started exact dual repair for a candidate optimal assignment.
+
+    Drives ``v0`` to the min-plus fixpoint of the difference constraints the
+    assignment induces on the TRUE matrix ``C`` (heap-ordered label
+    correcting in C++ — see lapx.cpp::lapx_repair_duals).  On success returns
+    ``(v, min_red)`` where ``u_i = C[i, x_i] - v[x_i]`` makes (u, v) tight on
+    the assignment by construction, so ``min_red >= -tol`` certifies the
+    assignment ``tol``-optimal with ZERO complementary-slackness gap.
+
+    Returns ``None`` when the relaxation budget blows up — the signature of
+    a suboptimal assignment (its constraint graph has a negative cycle), in
+    which case the caller should re-solve.  Raises on malformed inputs.
+
+    The reference's cold equivalent is dual_computation.py:13-74 (Python
+    Bellman-Ford at dataset-generation time); this one is warm-started and
+    fast enough (~2 dense passes) to run per-instance in the serving path.
+    """
+    lib = _lib()
+    _bind_repair(lib)
+    C = np.ascontiguousarray(C, np.float64)
+    n = C.shape[0]
+    if C.shape != (n, n):
+        raise ValueError("repair_duals_native expects a square matrix")
+    x = np.ascontiguousarray(col_of_row, np.int32)
+    v = np.array(v0, np.float64, copy=True, order="C")
+    if x.shape != (n,) or v.shape != (n,):
+        raise ValueError(f"x/v shapes {x.shape}/{v.shape} must be ({n},)")
+    min_red = ctypes.c_double(float("nan"))
+    rc = lib.lapx_repair_duals(
+        n, C, x, v, int(max_scans), ctypes.byref(min_red)
+    )
+    if rc == -1:
+        return None
+    if rc != 0:
+        raise NativeSolveError(f"lapx_repair_duals failed with code {rc}")
+    return v, float(min_red.value)
 
 
 def _bind_sparse(lib: "ctypes.CDLL") -> None:

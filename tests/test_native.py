@@ -1,5 +1,7 @@
 """Native C++ lapx solver tests (the float64 host oracle)."""
 
+import zlib
+
 import numpy as np
 import pytest
 import scipy.optimize
@@ -21,7 +23,7 @@ def _opt(C):
 @pytest.mark.parametrize("fam", sorted(FAMILIES))
 @pytest.mark.parametrize("n", [5, 64, 200])
 def test_native_cold_optimal(fam, n):
-    rng = np.random.default_rng(hash((fam, n)) % 2**31)
+    rng = np.random.default_rng(zlib.crc32(f"{fam}:{n}".encode()))
     C = FAMILIES[fam](n, rng)
     x, y, cost = native.lapjv_native(C)
     assert sorted(x.tolist()) == list(range(n))
@@ -145,3 +147,86 @@ def test_lapmod_rejects_bad_csr():
             np.array([0, 1, 0], np.int32),
             np.ones(3),
         )
+
+
+class TestRepairDuals:
+    """Warm-started exact dual repair (lapx_repair_duals) — the bf16-transfer
+    certificate's engine (pipeline._certify_and_polish step 1)."""
+
+    def test_repairs_bf16_rounded_duals_to_exact_certificate(self):
+        """The production scenario: solve a bf16-rounded copy, repair the
+        duals against the TRUE matrix -> zero-gap exact certificate."""
+        import ml_dtypes
+
+        rng = np.random.default_rng(7)
+        n = 256
+        C = rng.uniform(0, 1, (n, n))
+        Cb = C.astype(np.float32).astype(ml_dtypes.bfloat16).astype(np.float64)
+        x, _, _, _, v_b = native.lapjv_native(Cb, return_duals=True)
+        # bf16 duals are infeasible for the true matrix (this is the whole
+        # reason the r3 certificate failed on every instance)...
+        u_raw = C[np.arange(n), x] - v_b[x]
+        assert (C - u_raw[:, None] - v_b[None, :]).min() < -1e-9
+
+        rep = native.repair_duals_native(C, x, v_b)
+        assert rep is not None
+        v, min_red = rep
+        # ...and the repaired pair certifies EXACT optimality: feasible with
+        # zero complementary-slackness gap by construction.
+        assert min_red >= -1e-12
+        u = C[np.arange(n), x] - v[x]
+        assert (C - u[:, None] - v[None, :]).min() >= -1e-12
+        got = C[np.arange(n), x].sum()
+        assert abs(got - _opt(C)) < 1e-9
+
+    @pytest.mark.parametrize("fam", ["uniform", "metric", "low_rank", "tie"])
+    def test_fixpoint_on_already_exact_duals_is_identity(self, fam):
+        rng = np.random.default_rng(zlib.crc32(fam.encode()))
+        C = FAMILIES[fam](96, rng)
+        x, _, _, _, v = native.lapjv_native(C, return_duals=True)
+        rep = native.repair_duals_native(C, x, v)
+        assert rep is not None
+        v2, min_red = rep
+        assert min_red >= -1e-12
+        np.testing.assert_allclose(v2, v, atol=1e-12)
+
+    def test_suboptimal_assignment_never_certifies(self):
+        """A suboptimal x induces a negative cycle: the relaxation budget
+        blows up (None) — it must never return a passing certificate."""
+        rng = np.random.default_rng(11)
+        n = 128
+        C = rng.uniform(0, 1, (n, n))
+        x, _, _, _, v = native.lapjv_native(C, return_duals=True)
+        x2 = x.copy()
+        x2[[0, 1]] = x[[1, 0]]
+        rep = native.repair_duals_native(C, x2, v)
+        if rep is not None:  # converged: certificate must expose the gap
+            assert rep[1] < -1e-9
+        # (typically rep is None: budget exhausted on the negative cycle)
+
+    def test_rejects_non_permutation(self):
+        C = np.ones((4, 4))
+        with pytest.raises(native.NativeSolveError):
+            native.repair_duals_native(
+                C, np.zeros(4, np.int64), np.zeros(4)
+            )
+
+    def test_nan_poisoned_duals_fail_certificate(self):
+        rng = np.random.default_rng(3)
+        C = rng.uniform(0, 1, (16, 16))
+        x, _, _, _, v = native.lapjv_native(C, return_duals=True)
+        v = v.copy()
+        v[3] = np.nan
+        rep = native.repair_duals_native(C, x, v)
+        assert rep is None or not np.isfinite(rep[1])
+
+    def test_cold_start_matches_reference_reconstruction(self):
+        """From v=0 the repair reproduces the oracle-dual reconstruction's
+        certificate (reference dual_computation.py:13-74 semantics)."""
+        rng = np.random.default_rng(5)
+        C = FAMILIES["uniform"](64, rng)
+        r, c = scipy.optimize.linear_sum_assignment(C)
+        x = np.empty(64, np.int64)
+        x[r] = c
+        rep = native.repair_duals_native(C, x, np.zeros(64))
+        assert rep is not None and rep[1] >= -1e-12
