@@ -4,6 +4,7 @@ from .dual import (
     assert_no_edge_tensor_gather,
     dual_mesh,
     make_sharded_dual_predict,
+    make_sharded_dual_train_step,
 )
 from .hostmesh import (
     global_batch_from_host_local,
@@ -38,4 +39,5 @@ __all__ = [
     "assert_no_edge_tensor_gather",
     "dual_mesh",
     "make_sharded_dual_predict",
+    "make_sharded_dual_train_step",
 ]

@@ -40,6 +40,7 @@ from ..ops.features import graph_features
 
 __all__ = [
     "make_sharded_dual_predict",
+    "make_sharded_dual_train_step",
     "assert_no_edge_tensor_gather",
     "dual_mesh",
 ]
@@ -59,6 +60,18 @@ def dual_mesh(devices=None, row: int = 0, col: int = 0) -> Mesh:
     if row and col:
         if row * col != d:
             raise ValueError(f"row*col = {row * col} != {d} devices")
+    elif row or col:
+        # One axis pinned: derive the other instead of silently ignoring the
+        # request and handing back the auto square factorisation.
+        fixed = row or col
+        if d % fixed != 0:
+            raise ValueError(
+                f"{'row' if row else 'col'}={fixed} does not divide {d} devices"
+            )
+        if row:
+            col = d // row
+        else:
+            row = d // col
     else:
         row = int(np.sqrt(d))
         while d % row != 0:
@@ -121,12 +134,111 @@ def make_sharded_dual_predict(model, mesh: Mesh, project: bool = True):
     return predict
 
 
+def make_sharded_dual_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    clip_sentinels: bool = True,
+    normalize_gap: bool = True,
+    supervise_duals: bool = True,
+):
+    """Jitted DualGNN loss+grad step over the 2-D (row x col) edge partition.
+
+    This is the component that breaks the reference's single-device memory
+    cap on DualGNN training (n <= 2048, guard at
+    /root/reference/gnn/train_progressive_clean.py:192-194 and the O(n^2 *
+    hidden) model at gnn/dual_gnn.py:146-204): every (B, n, n, *) edge
+    tensor — features, per-layer activations, AND their backward-pass
+    gradients — stays (row, col)-tiled across the mesh, so per-device peak
+    memory is O(n^2 * hidden / devices).  Params and optimizer state are
+    replicated (they are O(hidden^2), vanishing next to the edge tensors);
+    the gradient all-reduce GSPMD inserts is over param-sized operands only.
+    The no-edge-tensor-gather HLO contract is checked by the caller via
+    ``assert_no_edge_tensor_gather`` on the COMPILED step, covering the
+    backward pass as well.  Caveat: the check's edge-scale threshold is
+    3n^2/2 elements, and the param-gradient all-reduce is a legitimate
+    collective over the largest param (hidden x hidden, or the 128 x 128
+    edge-MLP core) — so the contract is only meaningful when
+    3n^2/2 > max param size, i.e. n >= ~105 for the default widths.  At the
+    sizes the partition exists for (n >= 2048) this is never a constraint.
+
+    The loss is ``train.loss.dual_gnn_loss`` with ``include_primal=False``:
+    the greedy primal bound is an n-step sequential scan whose per-row
+    dynamic slice of the tiled reduced matrix would force a cross-shard
+    gather per step; the dual-maximisation surrogate keeps every term a
+    sharded reduction.  (The OneGNN large-n fine-tune path made the same
+    trade — train/loss.py.)
+
+    Returns ``step(state, cost, u_target, rng) -> (state, metrics)`` where
+    ``cost`` is (B, n, n) and arrives (or is resharded) as (row, col) tiles.
+    """
+    from ..train.loss import dual_gnn_loss
+
+    if "row" not in mesh.axis_names or "col" not in mesh.axis_names:
+        raise ValueError("mesh must have ('row', 'col') axes — see dual_mesh()")
+    import optax
+
+    from ..train.trainer import State
+
+    cost_sharding = NamedSharding(mesh, P(None, "row", "col"))
+    rep = NamedSharding(mesh, P())
+
+    def wsc(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def loss_fn(params, cost, u_target, rng):
+        gf = graph_features(
+            cost,
+            constrain_rows=lambda x: wsc(x, P(None, "row", None)),
+            constrain_cols=lambda x: wsc(x, P(None, None, "col")),
+        )
+        edge = wsc(gf.edge_feat, P(None, "row", "col", None))
+        rowf = wsc(gf.row_feat, P(None, "row", None))
+        colf = wsc(gf.col_feat, P(None, "col", None))
+        preds = model.apply(
+            params, edge, rowf, colf,
+            deterministic=False, rngs={"dropout": rng},
+        )
+        return dual_gnn_loss(
+            cost, preds,
+            normalize_gap=normalize_gap,
+            clip_sentinels=clip_sentinels,
+            u_target=u_target if supervise_duals else None,
+            include_primal=False,
+        )
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, cost_sharding, rep, rep),
+        out_shardings=(rep, rep),
+    )
+    def step(state, cost, u_target, rng):
+        cost = cost.astype(jnp.float32)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, cost, u_target, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return State(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "primal_gap_mean": jnp.mean(metrics["primal_gap"]),
+            "feas_mean": jnp.mean(metrics["feas"]),
+            "v_mse_mean": jnp.mean(metrics["v_mse"]),
+        }
+
+    return step
+
+
 # Collective-definition matcher shared with the solver guard (see
 # parallel/solver.py for why it is line-anchored and definition-only).
+# reduce-scatter is included: its OUTPUT is 1/shards of the input, so an
+# edge-scale replicated operand entering a reduce-scatter would slip past a
+# result-shape-only check — the operand shapes are checked too (below).
 _COLLECTIVE_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?(?:all-gather|all-reduce|all-to-all|collective-permute)"
+    r"^\s*(?:ROOT\s+)?%?(?:all-gather|all-reduce|all-to-all|collective-permute"
+    r"|reduce-scatter)"
     r"[^\n=]*=\s*(\(?[^)\n]*\)?)\s*(?:all-gather|all-reduce|all-to-all|"
-    r"collective-permute)",
+    r"collective-permute|reduce-scatter)",
     re.M,
 )
 _SHAPE_RE = re.compile(r"\[([0-9,]+)\]")
@@ -145,7 +257,13 @@ def assert_no_edge_tensor_gather(compiled, n: int) -> None:
     text = compiled.as_text()
     limit = (3 * n * n) // 2
     for m in _COLLECTIVE_RE.finditer(text):
-        for sm in _SHAPE_RE.finditer(m.group(1)):
+        # Check every shape token on the definition line — the RESULT shape
+        # and the OPERAND shapes: a reduce-scatter shrinks its output by the
+        # shard count, so a result-only check would miss an edge-scale
+        # replicated operand feeding it.
+        line_end = text.find("\n", m.start())
+        line = text[m.start() : line_end if line_end >= 0 else len(text)]
+        for sm in _SHAPE_RE.finditer(line):
             shape = [int(s) for s in sm.group(1).split(",") if s]
             size = 1
             for s in shape:

@@ -201,6 +201,7 @@ def dual_gnn_loss(
     normalize_gap: bool = False,
     clip_sentinels: bool = False,
     u_target: Optional[jnp.ndarray] = None,
+    include_primal: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mean primal_gap + mean feas + 0.1 * MSE(v_hint, v_proj)
     (train.py:299-301).
@@ -221,10 +222,18 @@ def dual_gnn_loss(
     per-instance mean difference) matters: (u + c, v - c) is the same dual
     point, so penalising the raw shift would fight the primal/feas terms
     over an unidentifiable degree of freedom.
+
+    ``include_primal=False`` swaps the greedy upper bound for the
+    dual-maximisation surrogate (see one_gnn_loss) — required for the 2-D
+    edge-partitioned trainer (parallel/dual.py), where the greedy scan's
+    per-row dynamic slice of the (row, col)-tiled reduced matrix would
+    force a cross-shard gather every one of its n sequential steps.
     """
     if clip_sentinels:
         cost = clip_cost_sentinels(cost, mask)
-    u_pred, v_proj, mf, primal_gap, feas = _shared_terms(cost, preds["u"], mask)
+    u_pred, v_proj, mf, primal_gap, feas = _shared_terms(
+        cost, preds["u"], mask, include_primal
+    )
     cnt = jnp.maximum(jnp.sum(mf, axis=-1), 1.0)
     v_reg = jnp.sum((preds["v_hint"] - v_proj) ** 2 * mf, axis=-1) / cnt
     gap_term = primal_gap / cnt if normalize_gap else primal_gap

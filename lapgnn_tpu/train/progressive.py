@@ -41,6 +41,12 @@ BATCH_SIZE_RULES: List[Tuple[int, int]] = [(1024, 32), (2048, 16), (4096, 8)]
 # tests can exercise the cache path on tiny instances.
 DEVICE_CACHE_MIN_N = 2048
 
+# Sizes at or above this sync the loss to the host every step, bounding the
+# number of in-flight H2D transfers (see the per-step comment in the train
+# loop — round 3 was OOM-killed at 130 GB RSS without it).  Kept equal to
+# DEVICE_CACHE_MIN_N so tuning one cannot silently drift the other.
+SYNC_MIN_N = DEVICE_CACHE_MIN_N
+
 
 def default_batch_size(n: int, rules: Optional[Sequence[Tuple[int, int]]] = None) -> int:
     for bound, bs in rules or BATCH_SIZE_RULES:
@@ -322,7 +328,7 @@ def train_progressive(
             # The sync costs nothing at these sizes (the step itself runs
             # seconds; dispatch overlap only matters for the small shapes).
             losses.append(
-                float(m["loss"]) if spec.size >= 2048 else m["loss"]
+                float(m["loss"]) if spec.size >= SYNC_MIN_N else m["loss"]
             )
         history["train_loss"].append(
             float(np.mean([float(l) for l in losses])) if losses else 0.0

@@ -2,6 +2,8 @@
 (gnn/features.py:161-243 for the 21-D row features)."""
 
 import jax.numpy as jnp
+import zlib
+
 import numpy as np
 import pytest
 
@@ -63,7 +65,7 @@ def test_dims():
 @pytest.mark.parametrize("fam", ["uniform", "metric", "tie"])
 @pytest.mark.parametrize("n", [8, 51])
 def test_row_features_match_oracle(fam, n):
-    rng = np.random.default_rng(hash((fam, n)) % 2**31)
+    rng = np.random.default_rng(zlib.crc32(f"{fam}:{n}".encode()))
     C = FAMILIES[fam](n, rng)
     got = np.asarray(row_features(jnp.asarray(C)))
     want = _row_features_oracle(C)

@@ -279,6 +279,81 @@ def test_sharded_dual_predict_large_n_parity(rng):
     np.testing.assert_allclose(np.asarray(v), v_ref, atol=2e-5)
 
 
+@requires_8
+def test_sharded_dual_train_step_matches_replicated(rng):
+    """One 2-D-tiled DualGNN training step == the same step replicated on
+    one device: identical loss and identical updated params."""
+    import optax
+
+    from lapgnn_tpu.ops.features import graph_features
+    from lapgnn_tpu.parallel import dual_mesh, make_sharded_dual_train_step
+    from lapgnn_tpu.train.loss import dual_gnn_loss
+    from lapgnn_tpu.train.trainer import State
+
+    n = 64
+    model, params = _tiny_dual_model_and_params(n)  # dropout=0.0 → rng inert
+    C = jnp.asarray(FAMILIES["uniform"](n, rng)[None], jnp.float32)
+    u_t = jnp.zeros((1, n), jnp.float32)
+    key = jax.random.key(7)
+    tx = optax.adamw(1e-3)
+
+    # Replicated reference step (plain jit, no mesh).
+    def ref_loss(p):
+        gf = graph_features(C)
+        preds = model.apply(
+            p, gf.edge_feat, gf.row_feat, gf.col_feat,
+            deterministic=False, rngs={"dropout": key},
+        )
+        return dual_gnn_loss(
+            C, preds, normalize_gap=True, clip_sentinels=True,
+            u_target=u_t, include_primal=False,
+        )
+    (loss_ref, _), grads = jax.value_and_grad(ref_loss, has_aux=True)(params)
+    upd, _ = tx.update(grads, tx.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    mesh = dual_mesh(row=4, col=2)
+    step = make_sharded_dual_train_step(model, tx, mesh)
+    state = State(params, tx.init(params), 0)
+    with mesh:
+        state2, metrics = step(state, C, u_t, key)
+    assert state2.step == 1
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@requires_8
+def test_sharded_dual_train_step_no_edge_tensor_gather(rng):
+    """Compiled-HLO contract on the TRAINING step (forward AND backward):
+    no collective moves an edge-tensor-scale operand.  n=256 so the 3n²/2
+    threshold clears the 128×128 edge-MLP param gradient all-reduce (the
+    one legitimate large collective — see make_sharded_dual_train_step)."""
+    import optax
+
+    from lapgnn_tpu.parallel import (
+        assert_no_edge_tensor_gather,
+        dual_mesh,
+        make_sharded_dual_train_step,
+    )
+    from lapgnn_tpu.train.trainer import State
+
+    n = 256
+    model, params = _tiny_dual_model_and_params(32)  # params are n-agnostic
+    tx = optax.adamw(1e-3)
+    mesh = dual_mesh(row=4, col=2)
+    step = make_sharded_dual_train_step(model, tx, mesh)
+    state = State(params, tx.init(params), 0)
+    C = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+    u_t = jax.ShapeDtypeStruct((1, n), jnp.float32)
+    key = jax.random.key(0)
+    with mesh:
+        compiled = step.lower(
+            jax.eval_shape(lambda s: s, state), C, u_t, key
+        ).compile()
+    assert_no_edge_tensor_gather(compiled, n)
+
+
 # ---------------------------------------------------------------------------
 # Multi-host (DCN x ICI) hierarchical mesh (parallel/hostmesh.py)
 # ---------------------------------------------------------------------------
