@@ -32,6 +32,18 @@ def build_parser() -> argparse.ArgumentParser:
              "the gradient and the oracle-dual u-MSE term is dropped; see "
              "train/loss.dual_gnn_loss)",
     )
+    p.add_argument(
+        "--init-checkpoint", type=Path, default=None,
+        help="warm-start (fine-tune) from an existing dual_gnn checkpoint",
+    )
+    p.add_argument(
+        "--mesh-2d", default=None, metavar="ROWxCOL",
+        help="train over a 2-D edge-partitioned device mesh, e.g. '4x2' "
+             "(or 'auto' for the squarest factorisation of all devices) — "
+             "lifts the single-device n<=2048 DualGNN memory cap by tiling "
+             "every (B, n, n, hidden) edge tensor across devices "
+             "(parallel/dual.py)",
+    )
     p.add_argument("--output", type=Path, required=True)
     return p
 
@@ -68,7 +80,27 @@ def main(argv=None) -> None:
         normalize_gap=not args.raw_reference_loss,
         supervise_duals=not args.raw_reference_loss,
     )
-    params, history = train_dual_gnn(train_insts, val_insts, cfg)
+    mesh = None
+    if args.mesh_2d:
+        from ..parallel.dual import dual_mesh
+
+        if args.mesh_2d == "auto":
+            mesh = dual_mesh()
+        else:
+            row, _, col = args.mesh_2d.partition("x")
+            mesh = dual_mesh(row=int(row), col=int(col))
+        print(f"2-D edge-partitioned training on mesh {dict(mesh.shape)}")
+
+    init_params = None
+    if args.init_checkpoint:
+        from ..train.checkpoint import load_checkpoint
+
+        init_params, _, _ = load_checkpoint(args.init_checkpoint)
+        print(f"warm init from {args.init_checkpoint}")
+
+    params, history = train_dual_gnn(
+        train_insts, val_insts, cfg, mesh=mesh, init_params=init_params
+    )
     save_checkpoint(
         args.output,
         params,

@@ -41,6 +41,7 @@ from ..ops.features import graph_features
 __all__ = [
     "make_sharded_dual_predict",
     "make_sharded_dual_train_step",
+    "make_sharded_dual_eval_step",
     "assert_no_edge_tensor_gather",
     "dual_mesh",
 ]
@@ -225,6 +226,53 @@ def make_sharded_dual_train_step(
             "feas_mean": jnp.mean(metrics["feas"]),
             "v_mse_mean": jnp.mean(metrics["v_mse"]),
         }
+
+    return step
+
+
+def make_sharded_dual_eval_step(
+    model,
+    mesh: Mesh,
+    clip_sentinels: bool = True,
+    normalize_gap: bool = True,
+):
+    """Sharded twin of ``train.dual_trainer.make_dual_eval_step``.
+
+    Same (row, col) edge tiling as the train step; metrics use the
+    dual-maximisation surrogate gap (``include_primal=False``) because the
+    greedy bound's n-step sequential scan would gather across shards — the
+    returned 'primal_gap' is therefore the SURROGATE gap (anchor − dual
+    lower bound), comparable across epochs but not across loss variants.
+    """
+    from ..train.loss import dual_gnn_loss
+
+    if "row" not in mesh.axis_names or "col" not in mesh.axis_names:
+        raise ValueError("mesh must have ('row', 'col') axes — see dual_mesh()")
+    cost_sharding = NamedSharding(mesh, P(None, "row", "col"))
+    rep = NamedSharding(mesh, P())
+
+    def wsc(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    @functools.partial(
+        jax.jit, in_shardings=(rep, cost_sharding), out_shardings=rep,
+    )
+    def step(params, cost):
+        cost = cost.astype(jnp.float32)
+        gf = graph_features(
+            cost,
+            constrain_rows=lambda x: wsc(x, P(None, "row", None)),
+            constrain_cols=lambda x: wsc(x, P(None, None, "col")),
+        )
+        edge = wsc(gf.edge_feat, P(None, "row", "col", None))
+        rowf = wsc(gf.row_feat, P(None, "row", None))
+        colf = wsc(gf.col_feat, P(None, "col", None))
+        preds = model.apply(params, edge, rowf, colf)
+        _, metrics = dual_gnn_loss(
+            cost, preds, normalize_gap=normalize_gap,
+            clip_sentinels=clip_sentinels, include_primal=False,
+        )
+        return {"primal_gap": metrics["primal_gap"], "feas": metrics["feas"]}
 
     return step
 

@@ -118,7 +118,22 @@ def train_dual_gnn(
     val_instances: Optional[Sequence[Dict[str, np.ndarray]]] = None,
     config: Optional[DualTrainConfig] = None,
     log_fn: Callable[[str], None] = print,
+    mesh=None,
+    init_params: Optional[dict] = None,
 ) -> Tuple[dict, Dict[str, list]]:
+    """Train (or, with ``init_params``, fine-tune) a DualGNN.
+
+    ``mesh`` (a ('row', 'col') ``jax.sharding.Mesh`` from
+    ``parallel.dual.dual_mesh``) switches every step to the 2-D
+    edge-partitioned train/eval steps, lifting the single-device
+    O(n^2 * hidden) memory cap (the reference guards DualGNN training to
+    n <= 2048 for exactly this reason —
+    /root/reference/gnn/train_progressive_clean.py:192-194).  Under a mesh
+    the loss swaps the greedy primal bound for the dual-maximisation
+    surrogate (see parallel.dual.make_sharded_dual_train_step), so logged
+    loss/val-gap values are comparable within a run but not against
+    unsharded runs.
+    """
     cfg = config or DualTrainConfig()
     model = DualGNN(cfg.hidden, cfg.layers, cfg.heads, cfg.dropout)
 
@@ -132,17 +147,38 @@ def train_dual_gnn(
     gf = graph_features(sample)
     key = jax.random.key(cfg.seed)
     params = model.init(key, gf.edge_feat, gf.row_feat, gf.col_feat)
+    if init_params is not None:
+        from .checkpoint import merge_params
+
+        params, n_loaded, n_total = merge_params(params, init_params)
+        log_fn(f"warm init: {n_loaded}/{n_total} param leaves from checkpoint")
     state = State(params, tx.init(params), jnp.asarray(0))
 
-    train_step = make_dual_train_step(
-        model, tx, clip_sentinels=cfg.clip_sentinels,
-        normalize_gap=cfg.normalize_gap,
-        supervise_duals=cfg.supervise_duals,
-    )
-    eval_step = make_dual_eval_step(
-        model, clip_sentinels=cfg.clip_sentinels,
-        normalize_gap=cfg.normalize_gap,
-    )
+    if mesh is not None:
+        from ..parallel.dual import (
+            make_sharded_dual_eval_step,
+            make_sharded_dual_train_step,
+        )
+
+        train_step = make_sharded_dual_train_step(
+            model, tx, mesh, clip_sentinels=cfg.clip_sentinels,
+            normalize_gap=cfg.normalize_gap,
+            supervise_duals=cfg.supervise_duals,
+        )
+        eval_step = make_sharded_dual_eval_step(
+            model, mesh, clip_sentinels=cfg.clip_sentinels,
+            normalize_gap=cfg.normalize_gap,
+        )
+    else:
+        train_step = make_dual_train_step(
+            model, tx, clip_sentinels=cfg.clip_sentinels,
+            normalize_gap=cfg.normalize_gap,
+            supervise_duals=cfg.supervise_duals,
+        )
+        eval_step = make_dual_eval_step(
+            model, clip_sentinels=cfg.clip_sentinels,
+            normalize_gap=cfg.normalize_gap,
+        )
 
     history: Dict[str, list] = {"train_loss": [], "val_gap_median": []}
     best_params = jax.device_get(state.params)

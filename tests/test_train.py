@@ -136,3 +136,49 @@ def test_merge_params_warm_init():
     np.testing.assert_array_equal(merged["new_block"]["w"], 0.0)
     np.testing.assert_array_equal(merged["head"]["w"], np.zeros((4,)))
     assert "stale" not in merged
+
+
+@pytest.mark.slow
+def test_dual_trainer_sharded_mesh():
+    """train_dual_gnn(mesh=...) routes through the 2-D edge-partitioned
+    train/eval steps (parallel/dual.py) — the fine-tune entry that lifts
+    the reference's single-device n<=2048 DualGNN cap."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from lapgnn_tpu.parallel.dual import dual_mesh
+    from lapgnn_tpu.train.dual_trainer import DualTrainConfig, train_dual_gnn
+
+    rng = np.random.default_rng(2)
+    insts = []
+    for _ in range(4):
+        s = generate_synthetic_instance("uniform", 16, rng)
+        insts.append({"cost": s.cost, "u": s.u, "v": s.v, "n": 16})
+    cfg = DualTrainConfig(hidden=16, layers=1, heads=2, epochs=2, batch_size=4,
+                          dropout=0.0, min_epochs=1)
+    params, history = train_dual_gnn(
+        insts, insts, cfg, log_fn=lambda s: None, mesh=dual_mesh(row=4, col=2)
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(l) for l in history["train_loss"])
+    assert all(np.isfinite(g) for g in history["val_gap_median"])
+
+
+@pytest.mark.slow
+def test_dual_trainer_warm_init():
+    """init_params fine-tunes from an existing checkpoint's params."""
+    from lapgnn_tpu.train.dual_trainer import DualTrainConfig, train_dual_gnn
+
+    rng = np.random.default_rng(3)
+    insts = []
+    for _ in range(4):
+        s = generate_synthetic_instance("uniform", 8, rng)
+        insts.append({"cost": s.cost, "u": s.u, "v": s.v, "n": 8})
+    cfg = DualTrainConfig(hidden=16, layers=1, heads=2, epochs=1,
+                          batch_size=4, dropout=0.0)
+    params0, _ = train_dual_gnn(insts, None, cfg, log_fn=lambda s: None)
+    params1, history = train_dual_gnn(
+        insts, None, cfg, log_fn=lambda s: None, init_params=params0
+    )
+    assert np.isfinite(history["train_loss"][0])
