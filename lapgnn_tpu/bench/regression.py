@@ -146,14 +146,23 @@ def main(argv=None) -> None:
     p.add_argument("--families", nargs="+", default=["uniform", "sparse"])
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--device", action="store_true")
-    p.add_argument("--real-files", nargs="*", default=[])
+    p.add_argument(
+        "--real-files", nargs="*", default=None,
+        help="real-instance files (default: every vendored fixture under "
+             "data/real/ — OR-Library .assign, SuiteSparse .mtx, STRING "
+             "links); pass an empty list to skip",
+    )
     p.add_argument("--output", type=Path, default=None)
     args = p.parse_args(argv)
     res = run_regression(
         args.sizes, args.families, args.repeats, include_device=args.device
     )
-    if args.real_files:
-        res["real_instances"] = run_real(args.real_files, args.repeats)
+    real_files = args.real_files
+    if real_files is None:
+        real_dir = Path(__file__).resolve().parents[2] / "data" / "real"
+        real_files = sorted(str(f) for f in real_dir.glob("*")) if real_dir.is_dir() else []
+    if real_files:
+        res["real_instances"] = run_real(real_files, args.repeats)
     line = json.dumps(res, indent=2)
     print(line)
     if args.output:

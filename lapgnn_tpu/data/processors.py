@@ -11,6 +11,9 @@ Formats:
 - OR-Library ``.assign`` (reference data/processors.py:21-43): first
   whitespace token is n, followed by n*n integer costs in row-major order
   (line layout is arbitrary).  ``.gz`` transparently supported.
+- MatrixMarket ``.mtx`` (SuiteSparse's distribution format, reference
+  data/processors.py:46-59): coordinate or array format via scipy.io.mmread;
+  densified, rectangular matrices cropped to the leading square block.
 - STRING ``protein.links`` (reference data/processors.py:62-144): rows of
   ``proteinA proteinB combined_score`` (score in 0..1000, optional header
   line).  Cost is ``1 - score/1000`` for linked pairs, 1.0 for unlinked,
@@ -32,6 +35,7 @@ import numpy as np
 __all__ = [
     "RealInstance",
     "parse_orlib_assign",
+    "parse_matrix_market",
     "string_links_to_cost",
     "fetch_suitesparse",
     "iter_real_instances",
@@ -140,6 +144,38 @@ def string_links_to_cost(path, max_nodes: int | None = None) -> RealInstance:
     return RealInstance(name=name, cost=cost, source="string")
 
 
+def parse_matrix_market(path) -> RealInstance:
+    """Parse a local MatrixMarket ``.mtx[.gz]`` file (SuiteSparse's
+    distribution format) into a square cost matrix.
+
+    The offline twin of :func:`fetch_suitesparse`: the reference downloads
+    via ssgetpy and densifies (reference data/processors.py:46-59,
+    ``todense`` then square crop); here the same semantics run on a local
+    file — unstored sparse entries become 0-cost edges, rectangular
+    matrices crop to their leading square block, and pattern (no-value)
+    matrices read as 0/1.  This keeps the SuiteSparse ingestion path fully
+    exercisable in no-egress environments via vendored .mtx bytes.
+    """
+    import scipy.io
+    import scipy.sparse
+
+    path = Path(path)
+    if str(path).endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            mat = scipy.io.mmread(f)
+    else:
+        mat = scipy.io.mmread(path)
+    if scipy.sparse.issparse(mat):
+        dense = np.asarray(mat.todense(), dtype=np.float64)
+    else:
+        dense = np.asarray(mat, dtype=np.float64)
+    k = min(dense.shape)
+    if k == 0:
+        raise ValueError(f"{path}: empty matrix")
+    name = Path(_strip_gz(path.name)).stem
+    return RealInstance(name=name, cost=dense[:k, :k], source="suitesparse")
+
+
 def fetch_suitesparse(matrix_name: str) -> RealInstance:
     """Fetch a SuiteSparse matrix (reference data/processors.py:46-59).
 
@@ -182,6 +218,8 @@ def iter_real_instances(paths: Sequence) -> Iterator[RealInstance]:
         base = _strip_gz(p.name)
         if base.endswith(".assign"):
             yield parse_orlib_assign(p)
+        elif base.endswith(".mtx"):
+            yield parse_matrix_market(p)
         elif "links" in base:
             yield string_links_to_cost(p)
         else:
