@@ -97,7 +97,10 @@ def rank1_duals(
 
 
 def select_best_seed(
-    cost: jnp.ndarray, u_candidates: Tuple[jnp.ndarray, ...], min_trick=None
+    cost: jnp.ndarray,
+    u_candidates: Tuple[jnp.ndarray, ...],
+    min_trick=None,
+    collision_veto: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-instance argmax over candidate row-dual seeds.
 
@@ -111,19 +114,39 @@ def select_best_seed(
     which routes through the Pallas streamed kernel at large n — pass the
     plain XLA ``min_trick_v`` from GSPMD-sharded programs, where a manually
     tiled kernel on a logically-global array would force replication).
+
+    ``collision_veto`` guards downstream SOLVE time, which the objective
+    alone cannot see: an entropy-smoothed near-optimal seed
+    (ops/sinkhorn.py) can collapse the seeded solver's greedy phase on
+    tie-heavy instances (unique-argmin fraction 0.74 -> 0.05; measured
+    tie@2048 solve 8 s -> 13 s while the objective IMPROVED).  With the
+    veto, any candidate whose unique-argmin count trails the best
+    candidate's by more than n/4 is disqualified before the objective
+    argmax.  The veto is relative, so it never disqualifies everything and
+    degrades to pure objective selection when candidates are comparable.
     """
     if min_trick is None:
         from .dual import fast_min_trick as min_trick
 
     if cost.ndim == 2:  # unbatched (n, n) instance
         u, v = select_best_seed(
-            cost[None], tuple(u[None] for u in u_candidates), min_trick
+            cost[None], tuple(u[None] for u in u_candidates), min_trick,
+            collision_veto,
         )
         return u[0], v[0]
 
     us = jnp.stack(u_candidates, axis=0)              # (K, B, n)
     vs = jnp.stack([min_trick(cost, u) for u in u_candidates], axis=0)
     obj = jnp.sum(us, axis=-1) + jnp.sum(vs, axis=-1)  # (K, B)
+    if collision_veto and len(u_candidates) > 1:
+        from .sinkhorn import uniq_argmin_count
+
+        n = cost.shape[-1]
+        uniq = jnp.stack(
+            [uniq_argmin_count(cost, u, v) for u, v in zip(us, vs)], axis=0
+        )                                              # (K, B)
+        ok = uniq >= jnp.max(uniq, axis=0, keepdims=True) - n // 4
+        obj = jnp.where(ok, obj, -jnp.inf)
     best = jnp.argmax(obj, axis=0)                     # (B,)
     take = jax.vmap(lambda arr, k: arr[k], in_axes=(1, 0))
     return take(us, best), take(vs, best)

@@ -1,0 +1,137 @@
+"""Entropic (log-domain Sinkhorn) dual refinement — a model-free seed sharpener.
+
+Net-new vs the reference (no counterpart; its seeds are the GNN prediction,
+row/col minima, or the oracle — gnn/eval.py + solvers/generators.py).  The
+dual of entropy-regularised optimal transport converges to a LAP dual point
+as the temperature ``eps -> 0``; running a few log-domain Sinkhorn sweeps
+under an ``eps``-halving ladder from ANY starting duals therefore drives the
+dual objective to within O(eps * n) of optimal — model-free, exactly the
+alternating-min structure the TPU's VPU likes (row/col logsumexp reductions
+over the cost matrix, all fused by XLA, ~2 matrix reads per sweep).
+
+Why this exists: on the ``noisy_linear`` family both GNNs and the analytic
+rank-1 seed plateau at gauge u-MAE ~0.037 / pre-solve greedy gap ~17 —
+pooled per-row context cannot express the globally coupled sorted-factor
+dual structure (docs/ACCURACY_LADDER.md, round 3; the round-3 ridge probe
+on rank-1 residuals confirms per-row features explain <10% of the error).
+Sinkhorn refinement is the closing move: it needs no learned structure at
+all and measured (round 4, n=512, noise=0.1): dual gap 8.9 -> 0.08,
+pre-solve greedy gap 16.6 -> ~2-4, gauge u-MAE 0.037 -> ~0.015.  The
+residual u-MAE is dual-polytope NON-UNIQUENESS, not error: the entropic
+path converges to the max-entropy dual point while the stored oracle is the
+min-plus extreme point, and with the dual gap at ~1e-2 both are essentially
+optimal dual solutions that simply sit on different faces.
+
+A caveat that shapes the serving integration (see ``collision_mask``): an
+interior/max-entropy dual point spreads near-tightness over many edges, so
+on tie-heavy families a REFINED seed can make the seeded solver's greedy
+phase collide catastrophically (measured: tie@2048 8.2 s -> 12.7 s) even
+though its objective is near-optimal, while an extreme-point seed (the GNN
+on that family) solves in ~90 ms.  The unique-argmin collision proxy below
+is how the pipeline's auto-selection vetoes such seeds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["sinkhorn_refine", "uniq_argmin_count", "DEFAULT_EPS_SCHEDULE"]
+
+# Relative-to-scale temperature ladder.  Wide on purpose (3 decades): the
+# per-instance scale estimate only needs to land the informative rungs
+# somewhere inside the ladder, so a 3x scale misestimate costs nothing.
+DEFAULT_EPS_SCHEDULE: Tuple[float, ...] = (
+    0.1, 0.03, 0.01, 0.003, 0.001, 3e-4, 1e-4,
+)
+
+
+def _robust_scale(cost: jnp.ndarray) -> jnp.ndarray:
+    """Per-instance cost spread (q90 - q10), sentinel-robust via the loss's
+    clip; floors at a tiny positive value so constant matrices are inert."""
+    q = jnp.quantile(
+        cost.reshape(cost.shape[0], -1), jnp.asarray([0.1, 0.9]), axis=-1
+    )
+    return jnp.maximum(q[1] - q[0], 1e-6)
+
+
+def sinkhorn_refine(
+    cost: jnp.ndarray,
+    u0: jnp.ndarray,
+    eps_schedule: Sequence[float] = DEFAULT_EPS_SCHEDULE,
+    iters_per_eps: int = 10,
+    clip_sentinels: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Refine row duals ``u0`` toward dual optimality; returns feasible (u, v).
+
+    Batched and jittable; ``cost`` is (B, n, n), ``u0`` is (B, n).  Uniform
+    marginals (every row/col matched once) make the entropic dual update a
+    plain logsumexp:  u_i <- -eps logsumexp_j((v_j - C_ij)/eps), and
+    symmetrically for v.  The ladder multiplies ``eps_schedule`` by a
+    per-instance robust spread, so one schedule serves every family.
+
+    Sentinel handling mirrors the training loss (train/loss.py): refinement
+    runs on the sentinel-clipped matrix, which is entrywise <= the true one,
+    so the final min-trick projection against the TRUE matrix returns a pair
+    that is feasible for it (clipped-feasibility implies true-feasibility,
+    and the projection only lowers v further).
+
+    Cost: ``2 * len(eps_schedule) * iters_per_eps`` reads of C — ~140 at the
+    defaults, a few ms at n=2048 on TPU HBM and far less than one solve.
+    """
+    cost_f = cost.astype(jnp.float32)
+    if clip_sentinels:
+        from ..train.loss import clip_cost_sentinels
+
+        cost_r = clip_cost_sentinels(cost_f)
+    else:
+        cost_r = cost_f
+    scale = _robust_scale(cost_r)[:, None, None]
+
+    u = u0.astype(jnp.float32)
+    v = jnp.min(cost_r - u[..., :, None], axis=-2)
+
+    def sweep(carry, eps_rel):
+        u, v = carry
+        eps = eps_rel * scale
+
+        def one(_, uv):
+            u, v = uv
+            u = -jnp.squeeze(eps, -1) * jax.nn.logsumexp(
+                (v[..., None, :] - cost_r) / eps, axis=-1
+            )
+            v = -jnp.squeeze(eps, -1) * jax.nn.logsumexp(
+                (u[..., :, None] - cost_r) / eps, axis=-2
+            )
+            return u, v
+
+        u, v = jax.lax.fori_loop(0, iters_per_eps, one, (u, v))
+        return (u, v), None
+
+    (u, v), _ = jax.lax.scan(
+        sweep, (u, v), jnp.asarray(eps_schedule, jnp.float32)
+    )
+    # Exact feasibility on the TRUE matrix: entropic duals carry O(eps)
+    # slack violations; the alternating min-trick projection removes them
+    # (and clipped-feasible v only moves down against the true matrix).
+    u = jnp.min(cost_f - v[..., None, :], axis=-1)
+    v = jnp.min(cost.astype(u.dtype) - u[..., :, None], axis=-2)
+    return u.astype(cost.dtype), v.astype(cost.dtype)
+
+
+def uniq_argmin_count(cost: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Number of distinct per-row argmin columns of the reduced matrix (B,).
+
+    A collision proxy for seeded-solve cost: the seeded solver's greedy
+    phase matches rows to their tight columns, and rows whose argmin
+    columns collide stay free for the O(n) augmentation phase.  Interior
+    (entropy-smoothed) dual points can be near-optimal in objective yet
+    collapse this count on tie-heavy instances — the measured tie@2048
+    8 s -> 13 s regression — so the auto seed selection uses this count as
+    a veto, not the objective alone (ops/rank1.select_best_seed).
+    """
+    am = jnp.argmin(cost - u[..., :, None] - v[..., None, :], axis=-1)
+    s = jnp.sort(am, axis=-1)
+    return 1 + jnp.sum(s[..., 1:] != s[..., :-1], axis=-1)

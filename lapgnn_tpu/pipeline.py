@@ -48,12 +48,15 @@ def predict_duals_fn(
 
     ``seed_mode``: 'gnn' serves the model prediction alone; 'rank1' serves
     the closed-form rank-1 analytic duals (ops/rank1.py) alone; 'auto'
-    (default) computes both and keeps, per instance, the one whose projected
-    dual objective is higher — a sound lower-bound comparison, so 'auto' is
-    never worse than either alone.  Rank-1-dominant families (noisy_linear,
-    low_rank) are exactly where per-row models plateau, and the analytic
-    seed costs ~14 extra passes over C (matvecs + one min-trick), all
-    device-resident.
+    (default) computes both, Sinkhorn-refines the objective winner
+    (ops/sinkhorn.py — model-free entropic dual ascent, ~140 passes over C,
+    device-resident), and selects among the three with the dual-objective
+    argmax under the unique-argmin collision veto — a sound lower-bound
+    comparison that also protects solve time from interior-point seeds (the
+    measured tie-family pathology, see select_best_seed).  Rank-1-dominant
+    families (noisy_linear, low_rank) are exactly where per-row models
+    plateau: refinement takes noisy_linear's pre-solve greedy gap 16.6 ->
+    ~2-4 and its seeded solve 372 -> 72 ms at n=2048.
     """
 
     from .ops.dual import robust_normalize
@@ -82,8 +85,14 @@ def predict_duals_fn(
         if normalize_costs:
             u = u * a[..., None] + mn[..., None]
         if seed_mode == "auto":
+            from .ops.sinkhorn import sinkhorn_refine
+
             u_r1, _ = rank1_duals(cost)
-            return select_best_seed(cost, (u, u_r1))
+            u_best, _ = select_best_seed(cost, (u, u_r1))
+            u_sk, _ = sinkhorn_refine(cost, u_best)
+            return select_best_seed(
+                cost, (u, u_r1, u_sk), collision_veto=True
+            )
         # Pallas streamed kernel at n >= 4096 on TPU (XLA's lowering loses
         # most of the HBM bandwidth there); XLA elsewhere.
         v = fast_min_trick(cost, u)
