@@ -237,6 +237,12 @@ def main(argv=None) -> None:
             lambda C, u: pallas_min_trick(C, u, interpret=interpret),
             inner, args.repeats, C1, u1,
         )
+        # The production ROUTED path (ops/dual.fast_min_trick: XLA below the
+        # size threshold, Pallas above) — the north-star contract is
+        # routed >= max(XLA, Pallas) at every measured size.
+        from ..ops.dual import fast_min_trick
+
+        t_routed = _kernel_time(fast_min_trick, inner, args.repeats, C1, u1)
         t_feat = _kernel_time(
             lambda C: row_features_fn(C[None]), max(2, inner // 8), args.repeats, C1
         )
@@ -267,6 +273,10 @@ def main(argv=None) -> None:
             "min_trick_pallas_gb_s": round(bytes_read / t_pls / 1e9, 2),
             "min_trick_pallas_roofline_pct": round(
                 100 * bytes_read / t_pls / 1e9 / args.hbm_peak_gbs, 1
+            ),
+            "min_trick_routed_gb_s": round(bytes_read / t_routed / 1e9, 2),
+            "min_trick_routed_roofline_pct": round(
+                100 * bytes_read / t_routed / 1e9 / args.hbm_peak_gbs, 1
             ),
             "row_features_gb_s": round(bytes_read / t_feat / 1e9, 2),
             "row_features_edges_per_s": round(nr * nr / t_feat),
