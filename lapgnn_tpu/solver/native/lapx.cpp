@@ -402,7 +402,14 @@ int lapx_repair_duals(int n, const double* C, const int32_t* x, double* v,
     if (j < 0 || j >= n || row_of_col[j] >= 0) return -2;
     row_of_col[j] = i;
   }
-  if (max_scans <= 0) max_scans = 16LL * n;
+  // Default budget: 64n column scans.  Warm bf16-rounded duals typically
+  // need ~2n; the round-4 bench measured instances where 16n bailed on
+  // EXACTLY OPTIMAL assignments (forcing a ~170 ms polish for nothing),
+  // while 64n repaired every one in ~20 ms.  The budget's only job is to
+  // bound the negative-cycle blowup of a genuinely suboptimal assignment:
+  // 64n scans * O(n) work is ~0.3 s at n=2048 — still far below the
+  // repeated-cold-solve cost the -1 return then avoids.
+  if (max_scans <= 0) max_scans = 64LL * n;
   const long long max_pushes = 2 * max_scans;
 
   vector<double> v0(v, v + n);  // heap keys are decreases vs the start
