@@ -447,28 +447,42 @@ class WarmStartPipeline:
         """
         if self.mode != "device":
             raise ValueError("solve_stream requires mode='device'")
+        from concurrent.futures import ThreadPoolExecutor
+
         costs = list(costs)
-        packed_futures = []
-        pending = None
-        for k, c in enumerate(costs):
-            buf = (
-                pending
-                if pending is not None
-                else jax.device_put(self._to_xfer(c)[None])
-            )
-            if k + 1 < len(costs):
-                # Issue the next upload BEFORE dispatching this solve: the
-                # transfer proceeds while the device works on instance k.
-                pending = jax.device_put(self._to_xfer(costs[k + 1])[None])
-            packed_futures.append(self._e2e(self.params, buf))
+        # Uploads run on a dedicated worker with a bounded look-ahead
+        # (depth 3): on a remote-attached transport ``jax.device_put`` can
+        # BLOCK until the bytes land, so issuing it inline serialises
+        # upload k+1 behind instance k's drain and the per-instance cost
+        # becomes transfer + compute + drain instead of max(transfer,
+        # compute).  The worker also absorbs the host-side ``_to_xfer``
+        # pack (~10 ms/instance of CPU at n=2048).  Depth 3 bounds device
+        # memory to three in-flight matrices.
+        upload_pool = ThreadPoolExecutor(max_workers=1)
+        DEPTH = 3
+        upload_futures: list = []
+
+        def _upload(c):
+            return jax.device_put(self._to_xfer(c)[None])
+
         results = []
         pool = cert_futures = None
         if certify:
-            from concurrent.futures import ThreadPoolExecutor
-
             pool, cert_futures = ThreadPoolExecutor(max_workers=2), []
         try:
-            for packed_dev, c in zip(packed_futures, costs):
+            packed_futures = []
+            for k, c in enumerate(costs):
+                while len(upload_futures) < min(len(costs), k + DEPTH):
+                    upload_futures.append(
+                        upload_pool.submit(_upload, costs[len(upload_futures)])
+                    )
+                packed_futures.append(
+                    self._e2e(self.params, upload_futures[k].result())
+                )
+                upload_futures[k] = None  # release the buffer ref: the
+                # dispatched computation owns it now, so the host keeps at
+                # most DEPTH uploads alive
+            for k, (packed_dev, c) in enumerate(zip(packed_futures, costs)):
                 packed = np.asarray(packed_dev)  # drain: the only sync points
                 c_np = np.asarray(c, np.float64)
                 n = c_np.shape[-1]
@@ -484,6 +498,7 @@ class WarmStartPipeline:
                 for f in cert_futures:
                     f.result()  # re-raises worker exceptions
         finally:
+            upload_pool.shutdown(wait=True)
             if pool is not None:
                 pool.shutdown(wait=True)
         return results
