@@ -50,11 +50,15 @@ def make_sharded_predict(
 
     ``seed_mode='auto'`` matches the single-device serving default
     (pipeline.predict_duals_fn): the rank-1 analytic candidate
-    (ops/rank1.py) is computed alongside the GNN seed and the per-instance
-    winner by projected dual objective is kept.  The rank-1 matvecs are
-    row-sharded matmuls (XLA inserts the psum over 'model'); the argsort
-    over the factor vectors gathers one (n,)-vector per instance — O(n)
-    collective traffic, negligible next to the O(n²/devices) feature pass.
+    (ops/rank1.py) is computed alongside the GNN seed, the per-instance
+    objective winner is Sinkhorn-refined (ops/sinkhorn.py), and the final
+    selection runs under the unique-argmin collision veto.  The rank-1
+    matvecs are row-sharded matmuls (XLA inserts the psum over 'model');
+    the argsort over the factor vectors gathers one (n,)-vector per
+    instance — O(n) collective traffic, negligible next to the
+    O(n²/devices) feature pass.  The Sinkhorn logsumexp sweeps contract
+    one matrix axis each, lowering to shard-local reductions + an O(n)
+    combine per pass, same as the min-trick.
     """
     if seed_mode not in ("gnn", "rank1", "auto"):
         raise ValueError("seed_mode must be 'gnn', 'rank1', or 'auto'")
@@ -79,8 +83,17 @@ def make_sharded_predict(
         preds = model.apply(params, feats, cost=cost if use_cost_refinement else None)
         u = preds["u"].astype(cost.dtype)
         if seed_mode == "auto":
+            from ..ops.sinkhorn import sinkhorn_refine
+
             u_r1, _ = rank1_duals(cost)
-            return select_best_seed(cost, (u, u_r1), min_trick=min_trick_v)
+            u_best, _ = select_best_seed(
+                cost, (u, u_r1), min_trick=min_trick_v
+            )
+            u_sk, _ = sinkhorn_refine(cost, u_best)
+            return select_best_seed(
+                cost, (u, u_r1, u_sk), min_trick=min_trick_v,
+                collision_veto=True,
+            )
         v = min_trick_v(cost, u)
         return u, v
 

@@ -143,9 +143,10 @@ def test_ring_min_trick_matches_dense(rng):
 @requires_8
 @pytest.mark.slow
 def test_sharded_predict_rank1_auto_matches_single_device(rng):
-    """The GSPMD predict path includes the rank-1 analytic candidate: on a
-    noisy_linear batch (where rank-1 wins the dual-objective selection) the
-    sharded result must match the single-device pipeline bit-for-tolerance."""
+    """The GSPMD predict path includes the rank-1 + Sinkhorn-refined
+    candidates: on a noisy_linear batch (where the non-GNN candidates win
+    the selection) the sharded result must match the single-device
+    pipeline bit-for-tolerance."""
     mesh = make_mesh(data=2, model=4)
     n, batch = 64, 2
     C = np.stack(
@@ -159,9 +160,14 @@ def test_sharded_predict_rank1_auto_matches_single_device(rng):
     from lapgnn_tpu.pipeline import predict_duals_fn
 
     u_ref, v_ref = predict_duals_fn(model)(params, Cd)
-    # sanity: auto actually selected the rank-1 candidate on this family
+    # sanity: 'auto' beat or matched the raw rank-1 candidate's objective
+    # on this family (since round 4 the served winner is usually the
+    # Sinkhorn-refined candidate, not raw rank-1)
     u_r1, _ = rank1_duals(Cd)
-    np.testing.assert_allclose(np.asarray(u_ref), np.asarray(u_r1), atol=1e-5)
+    from lapgnn_tpu.ops.dual import min_trick_v as _mt
+
+    obj = lambda u: float(jnp.sum(u) + jnp.sum(_mt(Cd, u)))
+    assert obj(u_ref) >= obj(u_r1) - 1e-3
 
     predict = make_sharded_predict(model, mesh)
     with mesh:
