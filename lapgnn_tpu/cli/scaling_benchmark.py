@@ -191,17 +191,28 @@ def main(argv=None) -> None:
         import itertools
 
         seeds = iter(jnp.float32(1e-6 * (k + 1)) for k in itertools.count())
-        # Calibrate the fold length against a measured single run: the
+        # Calibrate the fold length against the PER-ITERATION time: the
         # fixed ~8 GB traffic budget assumed TPU rates; on the CPU
         # interpret-mode path a small-n kernel can take ~10 ms per fold and
         # the budgeted 1e5 folds became the round-2 test-suite 'hang'.
         # Target <= ~1.5 s per timed fold, never above the traffic budget.
-        run_cal = make(1)
-        float(run_cal(next(seeds), *kargs))  # compile outside the timing
+        # The calibration itself must K-DIFFERENCE (8 folds vs 1): a single
+        # run is dominated by the ~30-100 ms tunnel RTT, and dividing the
+        # budget by RTT+kernel collapsed the fold to ~30 iterations for
+        # small kernels — at n=2048 that is a ~600 us interval differenced
+        # against multi-ms jitter, which produced the round-4 garbage
+        # readings (negative differences clamped to 1e-9 -> "1e9 GB/s").
+        run_cal1, run_cal8 = make(1), make(8)
+        float(run_cal1(next(seeds), *kargs))  # compile outside the timing
+        float(run_cal8(next(seeds), *kargs))
         t0 = time.perf_counter()
-        float(run_cal(next(seeds), *kargs))
-        t_single = max(time.perf_counter() - t0, 1e-7)
-        inner = int(min(inner, max(4, 1.5 / t_single)))
+        float(run_cal1(next(seeds), *kargs))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_cal8(next(seeds), *kargs))
+        t_eight = time.perf_counter() - t0
+        per_iter = max((t_eight - t_one) / 7, 1e-7)
+        inner = int(min(inner, max(4, 1.5 / per_iter)))
 
         run1, run2 = make(inner), make(2 * inner)
         t1 = _bench(lambda: float(run1(next(seeds), *kargs)), repeats)
