@@ -214,10 +214,26 @@ def main(argv=None) -> None:
         per_iter = max((t_eight - t_one) / 7, 1e-7)
         inner = int(min(inner, max(4, 1.5 / per_iter)))
 
+        # Pairwise K-differencing: interleave (1x, 2x) folds and median the
+        # PER-PAIR differences.  Differencing two independently-medianed
+        # series is not robust when background load drifts between the two
+        # timing blocks — a round-4 run on a shared chip produced a 218%-of-
+        # roofline "measurement" exactly that way.  Interleaving puts both
+        # fold lengths under the same load regime per pair.
         run1, run2 = make(inner), make(2 * inner)
-        t1 = _bench(lambda: float(run1(next(seeds), *kargs)), repeats)
-        t2 = _bench(lambda: float(run2(next(seeds), *kargs)), repeats)
-        return max(t2 - t1, 1e-9) / inner
+        float(run1(next(seeds), *kargs))  # warm both compiles
+        float(run2(next(seeds), *kargs))
+        diffs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run1(next(seeds), *kargs))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(run2(next(seeds), *kargs))
+            t2 = time.perf_counter() - t0
+            diffs.append(t2 - t1)
+        diffs.sort()
+        return max(diffs[len(diffs) // 2], 1e-9) / inner
 
     roofline = {}
     for nr in args.roofline_n:
