@@ -40,20 +40,30 @@ import jax.numpy as jnp
 
 __all__ = ["sinkhorn_refine", "uniq_argmin_count", "DEFAULT_EPS_SCHEDULE"]
 
-# Relative-to-scale temperature ladder.  Wide on purpose (3 decades): the
+# Relative-to-scale temperature ladder.  Wide on purpose (>2 decades): the
 # per-instance scale estimate only needs to land the informative rungs
 # somewhere inside the ladder, so a 3x scale misestimate costs nothing.
-DEFAULT_EPS_SCHEDULE: Tuple[float, ...] = (
-    0.1, 0.03, 0.01, 0.003, 0.001, 3e-4, 1e-4,
-)
+# Tuned round 4 for serving cost: 4 rungs x 8 sweeps = 64 matrix reads
+# reaches noisy_linear greedy gap ~4.2 / u-MAE 0.0156 vs the original
+# 7x10 ladder's 4.0 / 0.0152 at 140 reads — the extra 76 reads bought
+# ~2% and showed up as ~15 ms on every n=2048 resident predict.
+DEFAULT_EPS_SCHEDULE: Tuple[float, ...] = (0.05, 0.01, 0.002, 4e-4)
+DEFAULT_ITERS_PER_EPS = 8
 
 
 def _robust_scale(cost: jnp.ndarray) -> jnp.ndarray:
     """Per-instance cost spread (q90 - q10), sentinel-robust via the loss's
-    clip; floors at a tiny positive value so constant matrices are inert."""
-    q = jnp.quantile(
-        cost.reshape(cost.shape[0], -1), jnp.asarray([0.1, 0.9]), axis=-1
-    )
+    clip; floors at a tiny positive value so constant matrices are inert.
+
+    Estimated on a ~64k-element strided subsample: an exact quantile sorts
+    all n^2 entries (a ~10-20 ms hidden cost at n=2048 for a number that
+    only has to be right to within ~3x — see the ladder comment).
+    """
+    flat = cost.reshape(cost.shape[0], -1)
+    m = flat.shape[-1]
+    stride = max(1, m // 65536)
+    sample = flat[:, ::stride]
+    q = jnp.quantile(sample, jnp.asarray([0.1, 0.9]), axis=-1)
     return jnp.maximum(q[1] - q[0], 1e-6)
 
 
@@ -61,7 +71,7 @@ def sinkhorn_refine(
     cost: jnp.ndarray,
     u0: jnp.ndarray,
     eps_schedule: Sequence[float] = DEFAULT_EPS_SCHEDULE,
-    iters_per_eps: int = 10,
+    iters_per_eps: int = DEFAULT_ITERS_PER_EPS,
     clip_sentinels: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refine row duals ``u0`` toward dual optimality; returns feasible (u, v).
@@ -78,8 +88,8 @@ def sinkhorn_refine(
     that is feasible for it (clipped-feasibility implies true-feasibility,
     and the projection only lowers v further).
 
-    Cost: ``2 * len(eps_schedule) * iters_per_eps`` reads of C — ~140 at the
-    defaults, a few ms at n=2048 on TPU HBM and far less than one solve.
+    Cost: ``2 * len(eps_schedule) * iters_per_eps`` reads of C — 64 at the
+    defaults, ~1-2 ms at n=2048 on TPU HBM and far less than one solve.
     """
     cost_f = cost.astype(jnp.float32)
     if clip_sentinels:

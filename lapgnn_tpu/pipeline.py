@@ -49,7 +49,7 @@ def predict_duals_fn(
     ``seed_mode``: 'gnn' serves the model prediction alone; 'rank1' serves
     the closed-form rank-1 analytic duals (ops/rank1.py) alone; 'auto'
     (default) computes both, Sinkhorn-refines the objective winner
-    (ops/sinkhorn.py — model-free entropic dual ascent, ~140 passes over C,
+    (ops/sinkhorn.py — model-free entropic dual ascent, 64 reads of C,
     device-resident), and selects among the three with the dual-objective
     argmax under the unique-argmin collision veto — a sound lower-bound
     comparison that also protects solve time from interior-point seeds (the
