@@ -233,7 +233,13 @@ def main(argv=None) -> None:
             t2 = time.perf_counter() - t0
             diffs.append(t2 - t1)
         diffs.sort()
-        return max(diffs[len(diffs) // 2], 1e-9) / inner
+        med = diffs[len(diffs) // 2]
+        if med <= 0:
+            # A non-positive differenced median is a measurement failure
+            # (load drift beat the fold length), not a fast kernel.  Return
+            # NaN so the JSON cell reads null instead of an absurd GB/s.
+            return float("nan")
+        return med / inner
 
     roofline = {}
     for nr in args.roofline_n:
@@ -290,22 +296,32 @@ def main(argv=None) -> None:
             except Exception as exc:
                 print(f"# row_features pallas kernel failed at n={nr}: {exc}")
 
-        ceil_gbs = bytes_read / t_ceil / 1e9
+        def _gbs(t, scale=1.0):
+            # NaN from _kernel_time = measurement failure -> null in JSON
+            return None if t != t else round(scale * bytes_read / t / 1e9, 2)
+
+        ceil_gbs = bytes_read / t_ceil / 1e9 if t_ceil == t_ceil else float("nan")
         entry = {
-            "stream_reduce_selfcheck_gb_s": round(ceil_gbs, 2),
-            "min_trick_xla_gb_s": round(bytes_read / t_xla / 1e9, 2),
-            "min_trick_xla_roofline_pct": round(
-                100 * bytes_read / t_xla / 1e9 / args.hbm_peak_gbs, 1
+            "stream_reduce_selfcheck_gb_s": _gbs(t_ceil),
+            "min_trick_xla_gb_s": _gbs(t_xla),
+            "min_trick_xla_roofline_pct": (
+                None if t_xla != t_xla else round(
+                    100 * bytes_read / t_xla / 1e9 / args.hbm_peak_gbs, 1
+                )
             ),
-            "min_trick_pallas_gb_s": round(bytes_read / t_pls / 1e9, 2),
-            "min_trick_pallas_roofline_pct": round(
-                100 * bytes_read / t_pls / 1e9 / args.hbm_peak_gbs, 1
+            "min_trick_pallas_gb_s": _gbs(t_pls),
+            "min_trick_pallas_roofline_pct": (
+                None if t_pls != t_pls else round(
+                    100 * bytes_read / t_pls / 1e9 / args.hbm_peak_gbs, 1
+                )
             ),
-            "min_trick_routed_gb_s": round(bytes_read / t_routed / 1e9, 2),
-            "min_trick_routed_roofline_pct": round(
-                100 * bytes_read / t_routed / 1e9 / args.hbm_peak_gbs, 1
+            "min_trick_routed_gb_s": _gbs(t_routed),
+            "min_trick_routed_roofline_pct": (
+                None if t_routed != t_routed else round(
+                    100 * bytes_read / t_routed / 1e9 / args.hbm_peak_gbs, 1
+                )
             ),
-            "row_features_gb_s": round(bytes_read / t_feat / 1e9, 2),
+            "row_features_gb_s": _gbs(t_feat),
             "row_features_edges_per_s": round(nr * nr / t_feat),
         }
         if t_feat_pls is not None:

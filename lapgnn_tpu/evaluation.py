@@ -63,20 +63,11 @@ class DualGNNPredictor:
             if seed_mode == "rank1":
                 u, _ = rank1_duals(cost)
             elif seed_mode == "auto":
-                # Same 'auto' as the serving pipeline (pipeline.py):
-                # Sinkhorn-refine the objective winner, then select among
-                # all three under the collision veto.
-                from .ops.sinkhorn import sinkhorn_refine
+                # Same 'auto' as the serving pipeline, by construction:
+                # one shared policy implementation.
+                from .ops.sinkhorn import auto_select_seed
 
-                u_r1, _ = rank1_duals(cost)
-                u_best, _ = select_best_seed(
-                    cost, (u, u_r1), min_trick=min_trick_v
-                )
-                u_sk, _ = sinkhorn_refine(cost, u_best)
-                return select_best_seed(
-                    cost, (u, u_r1, u_sk), min_trick=min_trick_v,
-                    collision_veto=True,
-                )
+                return auto_select_seed(cost, u, min_trick=min_trick_v)
             v = min_trick_v(cost, u)
             return u, v
 

@@ -38,7 +38,12 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sinkhorn_refine", "uniq_argmin_count", "DEFAULT_EPS_SCHEDULE"]
+__all__ = [
+    "sinkhorn_refine",
+    "auto_select_seed",
+    "uniq_argmin_count",
+    "DEFAULT_EPS_SCHEDULE",
+]
 
 # Relative-to-scale temperature ladder.  Wide on purpose (>2 decades): the
 # per-instance scale estimate only needs to land the informative rungs
@@ -91,6 +96,11 @@ def sinkhorn_refine(
     Cost: ``2 * len(eps_schedule) * iters_per_eps`` reads of C — 64 at the
     defaults, ~1-2 ms at n=2048 on TPU HBM and far less than one solve.
     """
+    if cost.ndim == 2:  # unbatched (n, n) instance, like rank1_duals
+        u, v = sinkhorn_refine(
+            cost[None], u0[None], eps_schedule, iters_per_eps, clip_sentinels
+        )
+        return u[0], v[0]
     cost_f = cost.astype(jnp.float32)
     if clip_sentinels:
         from ..train.loss import clip_cost_sentinels
@@ -129,6 +139,59 @@ def sinkhorn_refine(
     u = jnp.min(cost_f - v[..., None, :], axis=-1)
     v = jnp.min(cost.astype(u.dtype) - u[..., :, None], axis=-2)
     return u.astype(cost.dtype), v.astype(cost.dtype)
+
+
+def auto_select_seed(
+    cost: jnp.ndarray, u_gnn: jnp.ndarray, min_trick=None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The serving 'auto' seed policy, in ONE place (jittable).
+
+    rank-1 analytic candidate alongside the model seed -> refine the
+    objective winner with Sinkhorn ascent -> final three-way selection by
+    dual objective under the unique-argmin collision veto.  Used verbatim
+    by the single-device pipeline, the GSPMD row-sharded predict, and the
+    evaluation ladder so all three always score the same posture
+    (pipeline.predict_duals_fn, parallel/sharded.make_sharded_predict,
+    evaluation.DualGNNPredictor).
+
+    Every candidate's min-trick projection is computed exactly once: the
+    projections feed the objective comparison, the winner pick, AND the
+    veto's argmin pass, so the whole policy costs 4 + len(eps ladder)
+    reads of C beyond the model forward (naive composition of
+    select_best_seed calls would re-project every candidate twice).
+
+    ``min_trick`` overrides the projection kernel (pass the plain XLA
+    ``min_trick_v`` from GSPMD-sharded programs — see select_best_seed).
+    """
+    if min_trick is None:
+        from .dual import fast_min_trick as min_trick
+
+    if cost.ndim == 2:
+        u, v = auto_select_seed(cost[None], u_gnn[None], min_trick)
+        return u[0], v[0]
+
+    from .rank1 import rank1_duals
+
+    u_r1, _ = rank1_duals(cost)
+    us = [u_gnn, u_r1]
+    vs = [min_trick(cost, u) for u in us]
+    objs = [jnp.sum(u, axis=-1) + jnp.sum(v, axis=-1) for u, v in zip(us, vs)]
+    pick01 = jnp.stack(objs, 0).argmax(axis=0)  # (B,)
+    take = jax.vmap(lambda arr, k: arr[k], in_axes=(1, 0))
+    u_best = take(jnp.stack(us, 0), pick01)
+    u_sk, v_sk = sinkhorn_refine(cost, u_best)  # returns the projected pair
+
+    us.append(u_sk)
+    vs.append(v_sk)
+    objs.append(jnp.sum(u_sk, axis=-1) + jnp.sum(v_sk, axis=-1))
+    n = cost.shape[-1]
+    uniq = jnp.stack(
+        [uniq_argmin_count(cost, u, v) for u, v in zip(us, vs)], 0
+    )
+    ok = uniq >= jnp.max(uniq, axis=0, keepdims=True) - n // 4
+    obj = jnp.where(ok, jnp.stack(objs, 0), -jnp.inf)
+    best = jnp.argmax(obj, axis=0)
+    return take(jnp.stack(us, 0), best), take(jnp.stack(vs, 0), best)
 
 
 def uniq_argmin_count(cost: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

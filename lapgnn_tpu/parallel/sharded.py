@@ -83,17 +83,9 @@ def make_sharded_predict(
         preds = model.apply(params, feats, cost=cost if use_cost_refinement else None)
         u = preds["u"].astype(cost.dtype)
         if seed_mode == "auto":
-            from ..ops.sinkhorn import sinkhorn_refine
+            from ..ops.sinkhorn import auto_select_seed
 
-            u_r1, _ = rank1_duals(cost)
-            u_best, _ = select_best_seed(
-                cost, (u, u_r1), min_trick=min_trick_v
-            )
-            u_sk, _ = sinkhorn_refine(cost, u_best)
-            return select_best_seed(
-                cost, (u, u_r1, u_sk), min_trick=min_trick_v,
-                collision_veto=True,
-            )
+            return auto_select_seed(cost, u, min_trick=min_trick_v)
         v = min_trick_v(cost, u)
         return u, v
 

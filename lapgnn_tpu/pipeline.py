@@ -85,14 +85,9 @@ def predict_duals_fn(
         if normalize_costs:
             u = u * a[..., None] + mn[..., None]
         if seed_mode == "auto":
-            from .ops.sinkhorn import sinkhorn_refine
+            from .ops.sinkhorn import auto_select_seed
 
-            u_r1, _ = rank1_duals(cost)
-            u_best, _ = select_best_seed(cost, (u, u_r1))
-            u_sk, _ = sinkhorn_refine(cost, u_best)
-            return select_best_seed(
-                cost, (u, u_r1, u_sk), collision_veto=True
-            )
+            return auto_select_seed(cost, u)
         # Pallas streamed kernel at n >= 4096 on TPU (XLA's lowering loses
         # most of the HBM bandwidth there); XLA elsewhere.
         v = fast_min_trick(cost, u)
@@ -314,21 +309,26 @@ class WarmStartPipeline:
         """Float64 exactness pass against the TRUE cost matrix, in place.
 
         Certification order (cheapest sufficient proof wins):
-          1. Warm-started native dual REPAIR (solver/native
-             ``repair_duals_native``): drive the device's column duals to the
-             min-plus fixpoint of the difference constraints the assignment
-             induces on the true f64 matrix — ~2 dense passes (~20 ms at
-             n=2048).  Succeeds iff the device assignment is exactly optimal
-             for the true matrix, with a ZERO complementary-slackness gap —
-             in the bf16-transfer posture the assignment survives the
-             rounding essentially always, only the duals need repair, so
-             this replaces the ~170 ms native re-solve round 3 paid on every
-             instance (docs/KNOWN_GAPS.md r3 §3).
-          2. Raw f64 certificate with the device duals as-is (native
-             unavailable, or repair rejected the assignment outright).
-          3. Native f64 polish warm-started from the device duals — unless
-             the device result is unusable (NaN duals, non-bijective x from
-             a poisoned input), which cold-solves.
+          1. Raw f64 certificate with the device duals as-is — a single
+             O(n^2) pass.  In the default float32-transfer posture this
+             almost always certifies (the duals are only f32-rounded), so
+             the posture pays exactly one pass per instance.
+          2. Warm-started native dual REPAIR (solver/native
+             ``repair_duals_native``): drive the device's column duals to
+             the min-plus fixpoint of the difference constraints the
+             assignment induces on the true f64 matrix — ~2-3 dense passes
+             (~20 ms at n=2048).  Succeeds iff the device assignment is
+             exactly optimal for the true matrix, with a ZERO
+             complementary-slackness gap.  This is the lossy-transfer
+             workhorse: bf16 rounding leaves ~1e-5 dual infeasibility so
+             step 1 fails, but the assignment survives the rounding on most
+             instances and repair replaces the ~170 ms native re-solve
+             round 3 paid every time (docs/KNOWN_GAPS.md r3 §3).
+          3. Native f64 polish warm-started from the device duals — only
+             when the assignment itself is wrong (repair refuses: its
+             constraint graph has a negative cycle) — unless the device
+             result is unusable (NaN duals, non-bijective x from a
+             poisoned input), which cold-solves.
 
         Certified entries get the f64 cost of their assignment (the device
         value is an f32 accumulation of the transfer-dtype-cast C and drifts
@@ -349,29 +349,25 @@ class WarmStartPipeline:
         polish_ms = np.zeros(packed.shape[0])
         for b in range(packed.shape[0]):
             x_b = out["col_of_row"][b]
-            ok = False
-            bound = float("inf")
             usable = (
                 np.array_equal(np.sort(x_b), np.arange(n))
                 and np.isfinite(v_all[b]).all()
             )
-            if usable:
+            # Step 1: raw certificate (one pass; the f32 posture's common case).
+            ok, _, bound = certify_assignment(
+                cost_np[b], x_b, v_all[b], tol=self.certify_tol
+            )
+            if not ok and usable:
+                # Step 2: warm repair (the lossy-transfer common case).
                 try:
                     rep = repair_duals_native(cost_np[b], x_b, v_all[b])
                 except NativeSolveError:
-                    rep = None  # toolchain missing -> raw certificate below
+                    rep = None  # toolchain missing -> polish below
                 if rep is not None and np.isfinite(rep[1]):
                     viol = max(0.0, -rep[1])
                     ok = viol <= self.certify_tol
                     bound = n * viol
-            if not ok:
-                # Raw certificate with the unrepaired duals (covers the
-                # native-unavailable case; free when repair already failed).
-                ok, _, bound = certify_assignment(
-                    cost_np[b], x_b, v_all[b], tol=self.certify_tol
-                )
-            else:
-                repaired[b] = True
+                    repaired[b] = ok
             certified[b], gap_bound[b] = ok, bound
             if ok:
                 out["cost"][b] = float(
@@ -459,6 +455,12 @@ class WarmStartPipeline:
         # pack (~10 ms/instance of CPU at n=2048).  Depth 3 bounds device
         # memory to three in-flight matrices.
         upload_pool = ThreadPoolExecutor(max_workers=1)
+        # DEPTH bounds BOTH ends of the in-flight window: at most DEPTH
+        # uploads pending AND at most DEPTH dispatched-but-undrained
+        # computations (the drain loop is interleaved with dispatch below) —
+        # so device residency never exceeds ~2*DEPTH instances regardless of
+        # stream length.  Three is enough to cover drain+dispatch latency on
+        # the slow transport without risking OOM on long large-n streams.
         DEPTH = 3
         upload_futures: list = []
 
@@ -470,7 +472,21 @@ class WarmStartPipeline:
         if certify:
             pool, cert_futures = ThreadPoolExecutor(max_workers=2), []
         try:
-            packed_futures = []
+            packed_futures: list = []
+
+            def _drain(k):
+                packed = np.asarray(packed_futures[k])  # the only sync points
+                packed_futures[k] = None  # free the device buffer ref
+                c_np = np.asarray(costs[k], np.float64)
+                out = self._unpack(packed, c_np.shape[-1])
+                if certify:
+                    cert_futures.append(
+                        pool.submit(
+                            self._certify_and_polish, c_np[None], packed, out
+                        )
+                    )
+                results.append(out)
+
             for k, c in enumerate(costs):
                 while len(upload_futures) < min(len(costs), k + DEPTH):
                     upload_futures.append(
@@ -479,21 +495,11 @@ class WarmStartPipeline:
                 packed_futures.append(
                     self._e2e(self.params, upload_futures[k].result())
                 )
-                upload_futures[k] = None  # release the buffer ref: the
-                # dispatched computation owns it now, so the host keeps at
-                # most DEPTH uploads alive
-            for k, (packed_dev, c) in enumerate(zip(packed_futures, costs)):
-                packed = np.asarray(packed_dev)  # drain: the only sync points
-                c_np = np.asarray(c, np.float64)
-                n = c_np.shape[-1]
-                out = self._unpack(packed, n)
-                if certify:
-                    cert_futures.append(
-                        pool.submit(
-                            self._certify_and_polish, c_np[None], packed, out
-                        )
-                    )
-                results.append(out)
+                upload_futures[k] = None  # dispatched computation owns it now
+                if k >= DEPTH:
+                    _drain(k - DEPTH)
+            for k in range(max(0, len(costs) - DEPTH), len(costs)):
+                _drain(k)
             if certify:
                 for f in cert_futures:
                     f.result()  # re-raises worker exceptions

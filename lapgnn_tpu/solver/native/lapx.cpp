@@ -377,11 +377,15 @@ int lapx_seeded(int n, const double* C, const double* u_seed,
 // a negative cycle and the relaxation cannot terminate — surfaced as a
 // budget blow-up (return -1), never as a false certificate.
 //
-// Heap-ordered label-correcting: pop the column with the smallest decrease
-// from its starting potential first.  Warm-started from duals that are
-// within ~rounding of feasible, that pop order is nearly the exact Dijkstra
-// order, so total work is ~2 dense passes over C plus a near-empty heap —
-// vs the ~50-100 full Bellman-Ford rounds a cold fixpoint needs at n=2048.
+// Heap-ordered label-correcting: the min-heap keys on (v[k] - v0[k]), so
+// the column with the LARGEST decrease from its starting potential (the
+// most-negative key) pops first — deepest-first settling, which drains the
+// dominant source of further relaxations before its downstream columns are
+// scanned.  Warm-started from duals within ~rounding of feasible, columns
+// rarely re-relax after popping, so total work is ~2 dense passes over C
+// plus a near-empty heap — vs the ~50-100 full Bellman-Ford rounds a cold
+// fixpoint needs at n=2048.  (Any pop order converges; the order only
+// affects the constant.)
 //
 // Capability analog in the reference: dual_computation.py:13-74 rebuilds
 // duals from an optimal matching by relaxing all n^2 difference constraints
