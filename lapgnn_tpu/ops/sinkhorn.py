@@ -62,12 +62,17 @@ def _robust_scale(cost: jnp.ndarray) -> jnp.ndarray:
 
     Estimated on a ~64k-element strided subsample: an exact quantile sorts
     all n^2 entries (a ~10-20 ms hidden cost at n=2048 for a number that
-    only has to be right to within ~3x — see the ladder comment).
+    only has to be right to within ~3x — see the ladder comment).  The
+    subsample strides BOTH matrix axes before flattening: flattening the
+    full (row, col)-sharded matrix first would all-gather it under GSPMD,
+    while a per-axis strided slice stays shard-local and only the ~64k
+    sample moves.
     """
-    flat = cost.reshape(cost.shape[0], -1)
-    m = flat.shape[-1]
-    stride = max(1, m // 65536)
-    sample = flat[:, ::stride]
+    n_r, n_c = cost.shape[-2], cost.shape[-1]
+    red = 1
+    while (n_r // red) * (n_c // red) > 65536:
+        red *= 2
+    sample = cost[..., ::red, ::red].reshape(cost.shape[0], -1)
     q = jnp.quantile(sample, jnp.asarray([0.1, 0.9]), axis=-1)
     return jnp.maximum(q[1] - q[0], 1e-6)
 

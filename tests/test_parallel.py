@@ -460,3 +460,45 @@ def test_initialize_distributed_rejects_partial_config(monkeypatch):
     monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
     with pytest.raises(ValueError, match="num_processes"):
         initialize_distributed()
+
+
+@requires_8
+@pytest.mark.slow
+def test_sharded_auto_predict_collective_budget():
+    """The 'auto' seed policy's only super-O(n) collective is the bounded
+    ~64k-element quantile subsample (ops/sinkhorn._robust_scale) — the
+    matrix itself must stay sharded through rank-1 fit, Sinkhorn sweeps,
+    and the collision veto."""
+    import re
+
+    from lapgnn_tpu.parallel import make_mesh, make_sharded_predict
+
+    n = 1024
+    mesh = make_mesh(data=1, model=8)
+    model = OneGNN(hidden=16, layers=1)
+    C0 = jnp.zeros((1, 64, 64), jnp.float32)
+    params = model.init(jax.random.key(0), row_features(C0), cost=C0)
+    predict = make_sharded_predict(model, mesh, seed_mode="auto")
+    with mesh:
+        compiled = predict.lower(
+            params, jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+        ).compile()
+    text = compiled.as_text()
+    pat = re.compile(
+        r"^\s*(?:ROOT\s+)?%?(?:all-gather|all-reduce|all-to-all|"
+        r"collective-permute|reduce-scatter)", re.M,
+    )
+    shapes = re.compile(r"\[([0-9,]+)\]")
+    worst = 0
+    for m in pat.finditer(text):
+        line = text[m.start():text.find("\n", m.start())]
+        for sm in shapes.finditer(line):
+            sz = 1
+            for x in sm.group(1).split(","):
+                if x:
+                    sz *= int(x)
+            worst = max(worst, sz)
+    assert worst <= 66000, (
+        f"sharded auto predict moves a {worst}-element operand through a "
+        "collective; the budget is the 64k quantile sample"
+    )
