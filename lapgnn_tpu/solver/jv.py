@@ -647,7 +647,8 @@ def lapjv_single(C: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
     n = C.shape[-1]
     m = column_reduction(C)
-    m = jacobi_arr(C, m, max_rounds=max(64, n // 16))  # parallel ARR
+    m = jacobi_arr(C, m, max_rounds=max(64, n // 32))  # parallel ARR; see
+    # the round-count note in solver/seeded.lapjv_seeded_single
     m = augment_all_sweep(C, m)
     return m.col_of_row, m.row_of_col, matching_cost(C, m.col_of_row)
 

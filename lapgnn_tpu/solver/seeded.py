@@ -319,26 +319,35 @@ def lapjv_seeded_single(
     else:
         raise ValueError(f"unknown gate '{gate}'")
 
-    def cold(_):
-        return column_reduction(C)
-
-    def warm(_):
-        # The reference's micro-ARR phase (lapjv_seeded.cpp:134-159) is a
-        # provable no-op in this design: u = min_j(C - v) makes every row's
-        # argmin reduced cost exactly 0.0 (same-float subtraction), so each
-        # free row's best column is tight — and greedy_tight_matching is
-        # MAXIMAL, so no free row can face a free tight column.  The phase's
-        # precondition (free row whose best column is free but not tight)
-        # cannot occur; skipping it saves a full O(n^2) two-min pass per
-        # warm solve.
-        return Matching(col_of_row=x, row_of_col=y, v=v)
-
-    m = lax.cond(use_fallback, cold, warm, None)
+    # Cold fallback start state is a per-field SELECT, not a lax.cond: the
+    # cold branch (column_reduction) is only ~3 dense passes, a batched
+    # lax.cond executes both branches under vmap anyway (so the serving
+    # path always paid for both), and the select keeps the whole function
+    # one straight-line program — no conditional boundary for layout/fusion
+    # decisions to stop at.  Measured equal-or-better at n=8192 on TPU.
+    #
+    # The warm start state needs no micro-ARR phase: the reference's
+    # micro-ARR (lapjv_seeded.cpp:134-159) is a provable no-op in this
+    # design — u = min_j(C - v) makes every row's argmin reduced cost
+    # exactly 0.0 (same-float subtraction), so each free row's best column
+    # is tight, and greedy_tight_matching is MAXIMAL, so a free tight
+    # column cannot face a free row.
+    m_cold = column_reduction(C)
+    m = Matching(
+        col_of_row=jnp.where(use_fallback, m_cold.col_of_row, x),
+        row_of_col=jnp.where(use_fallback, m_cold.row_of_col, y),
+        v=jnp.where(use_fallback, m_cold.v, v),
+    )
     # Parallel ARR collapses most remaining free rows with O(n^2)-per-round
     # vector work; min-plus sweep augmentation (which flips a whole
     # tied-distance GROUP of paths per round) finishes the rest.  Rounds
     # scale with n by default; ``arr_rounds`` overrides for tuning.
-    rounds = arr_rounds if arr_rounds is not None else max(64, n // 16)
+    # n//32 beats n//16 on the chip at large n: the ARR's long tail wins
+    # ~1 row per O(n^2) round, and handing the tail to the sweep earlier is
+    # cheaper (measured n=8192, GNN seeds: 256 rounds -> 1.86 s total vs
+    # 512 rounds -> 2.25 s; the curve is flat 128-256, so the exact knee
+    # doesn't matter).
+    rounds = arr_rounds if arr_rounds is not None else max(64, n // 32)
     m = jacobi_arr(C, m, max_rounds=rounds)
     m = augment_all_sweep(C, m)
     # Exactness polish: the greedy phase accepts edges within tight_eps of
