@@ -49,11 +49,21 @@ __all__ = [
 # per-instance scale estimate only needs to land the informative rungs
 # somewhere inside the ladder, so a 3x scale misestimate costs nothing.
 # Tuned round 4 for serving cost: 4 rungs x 8 sweeps = 64 matrix reads
-# reaches noisy_linear greedy gap ~4.2 / u-MAE 0.0156 vs the original
+# reaches noisy_linear greedy gap ~4.2 / u-MAE 0.0156 (vs the original
 # 7x10 ladder's 4.0 / 0.0152 at 140 reads — the extra 76 reads bought
-# ~2% and showed up as ~15 ms on every n=2048 resident predict.
+# ~2% and showed up as ~15 ms on every n=2048 resident predict).
 DEFAULT_EPS_SCHEDULE: Tuple[float, ...] = (0.05, 0.01, 0.002, 4e-4)
 DEFAULT_ITERS_PER_EPS = 8
+# A colder finishing rung, appended to the DEFAULT schedule at n >= 4096
+# only (n is static at trace time): large instances' per-edge dual slack
+# shrinks like 1/n, so tight-edge formation needs a colder finish — at
+# n=8192 this rung halves the seeded solver's free-row tail (1331 -> 594
+# after greedy) and cuts the warm solve 2.87 -> 2.40 s for ~30 ms of
+# refinement (measured on-chip, uniform).  At n=512 the same rung HURTS
+# the greedy gap on tie-prone families (noisy_linear 4.2 -> 5.5 — a too-
+# extreme point collides greedy), hence the size gate.
+COLD_FINISH_EPS = 8e-5
+COLD_FINISH_MIN_N = 4096
 
 
 def _robust_scale(cost: jnp.ndarray) -> jnp.ndarray:
@@ -106,6 +116,11 @@ def sinkhorn_refine(
             cost[None], u0[None], eps_schedule, iters_per_eps, clip_sentinels
         )
         return u[0], v[0]
+    if (
+        eps_schedule is DEFAULT_EPS_SCHEDULE
+        and cost.shape[-1] >= COLD_FINISH_MIN_N
+    ):
+        eps_schedule = DEFAULT_EPS_SCHEDULE + (COLD_FINISH_EPS,)
     cost_f = cost.astype(jnp.float32)
     if clip_sentinels:
         from ..train.loss import clip_cost_sentinels
