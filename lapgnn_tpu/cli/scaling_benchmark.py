@@ -322,15 +322,23 @@ def main(argv=None) -> None:
                 )
             ),
             "row_features_gb_s": _gbs(t_feat),
-            "row_features_edges_per_s": round(nr * nr / t_feat),
+            # NaN-guarded like every other field (ADVICE r4): round(NaN)
+            # raises and would kill the whole sweep on one failed stage.
+            "row_features_edges_per_s": (
+                None if t_feat != t_feat else round(nr * nr / t_feat)
+            ),
         }
         if t_feat_pls is not None:
             # sort-free fused kernel (ops/pallas/features.py): flip the
             # LAPGNN_PALLAS_FEATURES routing default if this wins on TPU.
-            entry["row_features_pallas_gb_s"] = round(
-                bytes_read / t_feat_pls / 1e9, 2
+            entry["row_features_pallas_gb_s"] = (
+                None if t_feat_pls != t_feat_pls
+                else round(bytes_read / t_feat_pls / 1e9, 2)
             )
-            entry["row_features_pallas_edges_per_s"] = round(nr * nr / t_feat_pls)
+            entry["row_features_pallas_edges_per_s"] = (
+                None if t_feat_pls != t_feat_pls
+                else round(nr * nr / t_feat_pls)
+            )
         if args.solve:
             from ..solver.seeded import lapjv_seeded_single
 
@@ -349,8 +357,12 @@ def main(argv=None) -> None:
             t_solve = _bench(
                 lambda: float(solve(Cp, u_s, v_s).cost), args.repeats
             )
-            entry["warm_solve_ms"] = round(t_solve * 1e3, 2)
-            entry["warm_solve_edges_per_s"] = round(nr * nr / t_solve)
+            entry["warm_solve_ms"] = (
+                None if t_solve != t_solve else round(t_solve * 1e3, 2)
+            )
+            entry["warm_solve_edges_per_s"] = (
+                None if t_solve != t_solve else round(nr * nr / t_solve)
+            )
         roofline[nr] = entry
         print(f"n={nr}: {json.dumps(entry)}")
 

@@ -139,13 +139,12 @@ def select_best_seed(
     vs = jnp.stack([min_trick(cost, u) for u in u_candidates], axis=0)
     obj = jnp.sum(us, axis=-1) + jnp.sum(vs, axis=-1)  # (K, B)
     if collision_veto and len(u_candidates) > 1:
-        from .sinkhorn import uniq_argmin_count
+        from .sinkhorn import collision_veto_mask, uniq_argmin_count
 
-        n = cost.shape[-1]
         uniq = jnp.stack(
             [uniq_argmin_count(cost, u, v) for u, v in zip(us, vs)], axis=0
         )                                              # (K, B)
-        ok = uniq >= jnp.max(uniq, axis=0, keepdims=True) - n // 4
+        ok = collision_veto_mask(uniq, cost.shape[-1])
         obj = jnp.where(ok, obj, -jnp.inf)
     best = jnp.argmax(obj, axis=0)                     # (B,)
     take = jax.vmap(lambda arr, k: arr[k], in_axes=(1, 0))

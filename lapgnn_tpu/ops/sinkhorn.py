@@ -42,6 +42,7 @@ __all__ = [
     "sinkhorn_refine",
     "auto_select_seed",
     "uniq_argmin_count",
+    "collision_veto_mask",
     "DEFAULT_EPS_SCHEDULE",
 ]
 
@@ -116,8 +117,11 @@ def sinkhorn_refine(
             cost[None], u0[None], eps_schedule, iters_per_eps, clip_sentinels
         )
         return u[0], v[0]
+    # Value comparison, not identity: callers passing an equal-by-value
+    # copy (list/tuple) of the default schedule must not silently lose the
+    # large-n cold finishing rung (ADVICE r4).
     if (
-        eps_schedule is DEFAULT_EPS_SCHEDULE
+        tuple(eps_schedule) == DEFAULT_EPS_SCHEDULE
         and cost.shape[-1] >= COLD_FINISH_MIN_N
     ):
         eps_schedule = DEFAULT_EPS_SCHEDULE + (COLD_FINISH_EPS,)
@@ -153,12 +157,15 @@ def sinkhorn_refine(
     (u, v), _ = jax.lax.scan(
         sweep, (u, v), jnp.asarray(eps_schedule, jnp.float32)
     )
-    # Exact feasibility on the TRUE matrix: entropic duals carry O(eps)
-    # slack violations; the alternating min-trick projection removes them
-    # (and clipped-feasible v only moves down against the true matrix).
-    u = jnp.min(cost_f - v[..., None, :], axis=-1)
-    v = jnp.min(cost.astype(u.dtype) - u[..., :, None], axis=-2)
-    return u.astype(cost.dtype), v.astype(cost.dtype)
+    # Exact feasibility on the TRUE matrix IN ITS ORIGINAL DTYPE: entropic
+    # duals carry O(eps) slack violations; the alternating min-trick
+    # projection removes them.  Both final projections run against ``cost``
+    # un-cast (ADVICE r4: projecting against the f32 image left ~1e-7
+    # relative dual infeasibility for float64 inputs); for f32 inputs this
+    # is bit-identical to projecting against ``cost_f``.
+    u = jnp.min(cost - v.astype(cost.dtype)[..., None, :], axis=-1)
+    v = jnp.min(cost - u[..., :, None], axis=-2)
+    return u, v
 
 
 def auto_select_seed(
@@ -204,14 +211,26 @@ def auto_select_seed(
     us.append(u_sk)
     vs.append(v_sk)
     objs.append(jnp.sum(u_sk, axis=-1) + jnp.sum(v_sk, axis=-1))
-    n = cost.shape[-1]
     uniq = jnp.stack(
         [uniq_argmin_count(cost, u, v) for u, v in zip(us, vs)], 0
     )
-    ok = uniq >= jnp.max(uniq, axis=0, keepdims=True) - n // 4
+    ok = collision_veto_mask(uniq, cost.shape[-1])
     obj = jnp.where(ok, jnp.stack(objs, 0), -jnp.inf)
     best = jnp.argmax(obj, axis=0)
     return take(jnp.stack(us, 0), best), take(jnp.stack(vs, 0), best)
+
+
+def collision_veto_mask(uniq: jnp.ndarray, n: int) -> jnp.ndarray:
+    """The ONE collision-veto rule, shared by every seed-selection site.
+
+    ``uniq`` is (K, ...) unique-argmin counts per candidate; a candidate is
+    vetoed when its count trails the per-instance best by more than n/4.
+    Relative, so it never disqualifies everything (the best candidate is
+    always kept) and degrades to pure objective selection when candidates
+    are comparable.  Factored here (ADVICE r4) so `select_best_seed` and
+    `auto_select_seed` cannot drift apart.
+    """
+    return uniq >= jnp.max(uniq, axis=0, keepdims=True) - n // 4
 
 
 def uniq_argmin_count(cost: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -142,6 +142,156 @@ def test_transfer_dtype_validated(tiny_model):
     model, params = tiny_model
     with pytest.raises(ValueError):
         WarmStartPipeline(model, params, transfer_dtype="int8")
+    with pytest.raises(ValueError):
+        # fixed-point decode lives in the device e2e program only
+        WarmStartPipeline(model, params, mode="hybrid", transfer_dtype="uint16")
+
+
+def _decode_u16_np(enc):
+    from lapgnn_tpu.pipeline import _decode_transfer
+
+    return np.asarray(_decode_transfer({k: jnp.asarray(v) for k, v in enc.items()}))
+
+
+def test_u16_quantizer_error_bounds(rng):
+    """Two-segment uint16 fixed-point transfer code (round 5): bulk error
+    bounded by step/2 (~250x finer than bf16 on [0,1] costs), sentinel
+    entries survive on the tail grid instead of destroying the bulk
+    precision, and degenerate inputs (constant, NaN) stay finite."""
+    from lapgnn_tpu.pipeline import quantize_u16
+
+    # [0,1]-range: the whole code range covers the data
+    C = rng.uniform(0, 1, (96, 96))
+    enc = quantize_u16(C)
+    dec = _decode_u16_np(enc)[0]
+    assert enc["step"][0] < 2e-5  # fine bulk grid
+    assert np.abs(dec - C.astype(np.float32)).max() <= enc["step"][0] * 0.51 + 1e-7
+
+    # forbidden-edge sentinels (70% of entries at 1e6, the sparse family's
+    # worst case): bulk stays fine, sentinels decode to ~1e6 on the tail
+    Cs = rng.uniform(0, 1, (96, 96))
+    m = rng.uniform(0, 1, (96, 96)) < 0.7
+    Cs[m] = 1e6
+    enc = quantize_u16(Cs)
+    dec = _decode_u16_np(enc)[0]
+    assert enc["step"][0] < 5e-4  # one sentinel must not stretch the grid
+    assert np.abs(dec[~m] - Cs[~m]).max() < 3e-4
+    assert np.abs(dec[m] - 1e6).max() < 1e3
+
+    # degenerate: constant matrix round-trips; NaN entries decode finite
+    assert np.allclose(_decode_u16_np(quantize_u16(np.full((32, 32), 3.0)))[0], 3.0)
+    Cn = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    Cn[3, 5] = np.nan
+    assert np.isfinite(_decode_u16_np(quantize_u16(Cn))[0]).all()
+
+
+def test_u16_transfer_certified_exact(tiny_model, rng):
+    """uint16 fixed-point upload + certify=True returns the EXACT optimum
+    of the true f64 matrix for solve() and solve_stream() — the round-5
+    streamed-posture encoding (same bytes as bf16, fine enough that the
+    device assignment survives quantization and the warm dual repair
+    certifies without a native re-solve)."""
+    model, params = tiny_model
+    costs = [FAMILIES["uniform"](32, rng) for _ in range(3)]
+    opts = []
+    for C in costs:
+        r, c = scipy.optimize.linear_sum_assignment(C)
+        opts.append(C[r, c].sum())
+
+    pipe = WarmStartPipeline(
+        model, params, mode="device", transfer_dtype="uint16"
+    )
+    out = pipe.solve(np.stack(costs), certify=True)
+    assert out["certified"].all()
+    for b, C in enumerate(costs):
+        got = C[np.arange(32), out["col_of_row"][b]].sum()
+        assert abs(got - opts[b]) < 1e-9
+        assert abs(out["cost"][b] - opts[b]) < 1e-9
+
+    streamed = pipe.solve_stream(costs, certify=True)
+    for o, C, opt in zip(streamed, costs, opts):
+        assert o["certified"].all()
+        got = C[np.arange(32), o["col_of_row"][0]].sum()
+        assert abs(got - opt) < 1e-9
+
+    # device-resident input bypasses quantization (already past the link)
+    out_res = pipe.solve(jnp.asarray(costs[0], jnp.float32))
+    assert sorted(out_res["col_of_row"][0].tolist()) == list(range(32))
+
+
+def test_topk16_transfer_certified_exact(tiny_model, rng):
+    """topk16 row-sparsified upload (n*k entries instead of n^2; the round-5
+    streamed workhorse) + certify=True returns the EXACT optimum of the true
+    f64 matrix for solve() and solve_stream()."""
+    model, params = tiny_model
+    costs = [FAMILIES["uniform"](48, rng) for _ in range(3)]
+    opts = []
+    for C in costs:
+        r, c = scipy.optimize.linear_sum_assignment(C)
+        opts.append(C[r, c].sum())
+
+    pipe = WarmStartPipeline(
+        model, params, mode="device", transfer_dtype="topk16", transfer_topk=16
+    )
+    out = pipe.solve(np.stack(costs), certify=True)
+    assert out["certified"].all()
+    for b, C in enumerate(costs):
+        got = C[np.arange(48), out["col_of_row"][b]].sum()
+        assert abs(got - opts[b]) < 1e-9
+        assert abs(out["cost"][b] - opts[b]) < 1e-9
+
+    streamed = pipe.solve_stream(costs, certify=True)
+    for o, C, opt in zip(streamed, costs, opts):
+        assert o["certified"].all()
+        assert abs(C[np.arange(48), o["col_of_row"][0]].sum() - opt) < 1e-9
+
+
+def test_topk16_quantizer_properties(rng):
+    """Kept entries decode within step/2; fill sits strictly above every
+    kept value so decoded row minima are always real entries."""
+    from lapgnn_tpu.pipeline import quantize_topk16
+
+    C = rng.uniform(0, 1, (64, 64))
+    enc = quantize_topk16(C, 12)
+    d = _decode_u16_np(enc)[0]
+    for i in range(64):
+        idx = enc["qi"][0, i].astype(int)
+        true = C[i, idx].astype(np.float32)
+        assert np.abs(d[i, idx] - true).max() <= enc["step"][0] * 0.51 + 1e-7
+        assert enc["fill"][0] > true.max()
+        # decoded row argmin is one of the kept columns
+        assert d[i].argmin() in idx
+
+
+def test_small_n_host_route(tiny_model, rng):
+    """Size-routed serving: route='host' solves on the host backend (native
+    cold JV below route_native_max_n, SciPy above), exact by construction,
+    flagged via 'routed_host'.  On the CPU backend route='auto' must NOT
+    route (there is no transfer floor; device paths stay exercised)."""
+    model, params = tiny_model
+    C = FAMILIES["uniform"](40, rng)
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    opt = C[r, c].sum()
+
+    pipe = WarmStartPipeline(model, params, mode="device", route="host")
+    out = pipe.solve(C, certify=True)
+    assert out["routed_host"].all() and out["certified"].all()
+    assert abs(out["cost"][0] - opt) < 1e-9
+
+    # SciPy-delegation branch
+    pipe2 = WarmStartPipeline(
+        model, params, mode="device", route="host", route_native_max_n=8
+    )
+    out2 = pipe2.solve(C)
+    assert abs(out2["cost"][0] - opt) < 1e-9
+
+    # auto on CPU: no routing
+    pipe3 = WarmStartPipeline(model, params, mode="device", route="auto")
+    out3 = pipe3.solve(C.astype(np.float32))
+    assert "routed_host" not in out3
+
+    with pytest.raises(ValueError):
+        WarmStartPipeline(model, params, route="sideways")
 
 
 def test_evaluation_metrics(tiny_model):
