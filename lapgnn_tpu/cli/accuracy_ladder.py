@@ -82,13 +82,17 @@ def main(argv=None) -> None:
             m = evaluate_pipeline(pipe, insts, time_solvers=False)
             ladder[name]["per_family"][fam] = m
             agg.append(m)
+            iqr = m["presolve_gap_clipped_iqr"]
             print(
                 f"{name} {fam}: u_mae_gauge={m['u_mae_gauge']:.5f} "
                 f"presolve_gap_med={m['presolve_gap_median']:.4f} "
+                f"clipped_gap_med={m['presolve_gap_clipped_median']:.4f} "
+                f"IQR=[{iqr[0]:.3f},{iqr[1]:.3f}] "
                 f"assist={m['assist_rate']:.2f} fallback={m['fallback_rate']:.2f}"
             )
         keys = ["u_mae", "u_mae_gauge", "v_mae", "feasible_rate", "assist_rate",
-                "fallback_rate", "presolve_gap_median"]
+                "fallback_rate", "presolve_gap_median",
+                "presolve_gap_clipped_median"]
         ladder[name]["overall"] = {
             k: float(np.mean([m[k] for m in agg])) for k in keys
         }

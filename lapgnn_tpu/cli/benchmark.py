@@ -27,6 +27,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--instances", type=int, default=3)
     p.add_argument("--mode", choices=["device", "hybrid"], default="hybrid")
     p.add_argument(
+        "--transfer-dtype",
+        choices=["float32", "bfloat16", "float16", "uint16", "topk16"],
+        default="float32",
+        help="host->device transfer encoding for mode=device (topk16: "
+             "each row's 64 smallest entries, the streamed serving "
+             "workhorse; see pipeline.quantize_topk16)",
+    )
+    p.add_argument(
         "--seed-mode", choices=["auto", "gnn", "rank1"], default="auto",
         help="dual-seed source: GNN, rank-1 analytic, or per-instance best (ops/rank1.py)",
     )
@@ -71,6 +79,12 @@ def main(argv=None) -> None:
             mode=args.mode,
             use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
             seed_mode=args.seed_mode,
+            transfer_dtype=(
+                args.transfer_dtype if args.mode == "device" else "float32"
+            ),
+            # This CLI MEASURES the requested execution mode; size routing
+            # would silently swap in the host backend at small n on TPU.
+            route="device",
         )
 
     logger = BenchmarkLogger("gnn_benchmark", root=args.logs)

@@ -61,6 +61,7 @@ def main(argv=None) -> None:
             model, params, mode=args.mode,
             use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
             seed_mode=args.seed_mode,
+            route="device",  # measure the requested mode, not the router
         )
 
     results = []

@@ -48,6 +48,7 @@ def main(argv=None) -> None:
         model, params, mode=args.mode,
         use_cost_refinement=bool(meta.get("use_cost_refinement", True)),
         seed_mode=args.seed_mode,
+        route="device",  # profile the device pipeline, not the router
     )
 
     rng = np.random.default_rng(0)

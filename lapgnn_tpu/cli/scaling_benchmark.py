@@ -321,6 +321,19 @@ def main(argv=None) -> None:
                     100 * bytes_read / t_routed / 1e9 / args.hbm_peak_gbs, 1
                 )
             ),
+            # Router contract: the routed path must not subtract value —
+            # routed time within 5% of the better kernel's.  When the
+            # router picks (say) Pallas, routed and Pallas are the SAME
+            # compiled program, so demanding routed strictly beat both in
+            # separately-timed medians is a coin flip against chip noise;
+            # the 5% band makes the contract falsifiable for real routing
+            # mistakes (the r3 stale table cost ~3-12%) without failing on
+            # measurement jitter between identical programs.
+            "min_trick_route_ok": (
+                None
+                if any(t != t for t in (t_routed, t_xla, t_pls))
+                else bool(t_routed <= 1.05 * min(t_xla, t_pls))
+            ),
             "row_features_gb_s": _gbs(t_feat),
             # NaN-guarded like every other field (ADVICE r4): round(NaN)
             # raises and would kill the whole sweep on one failed stage.

@@ -21,7 +21,7 @@ import numpy as np
 
 from .ops.dual import check_dual_feasible
 from .pipeline import WarmStartPipeline
-from .train.loss import greedy_primal_upper
+from .train.loss import BIG, greedy_primal_upper
 
 __all__ = ["evaluate_pipeline"]
 
@@ -90,6 +90,7 @@ def evaluate_pipeline(
     u_mse, v_mse, u_mae, v_mae = [], [], [], []
     u_mae_gauge = []
     presolve_gap = []
+    presolve_gap_clipped = []
     speedups = []
     assists = []
     fallbacks = []
@@ -139,6 +140,33 @@ def evaluate_pipeline(
         )
         opt = float(inst.get("opt_cost", ub))
         presolve_gap.append(ub - opt)
+        # Sentinel-clipped twin (VERDICT r4 #4): on the sparse family the
+        # raw greedy bound is sentinel-dominated (one forbidden-edge
+        # collision adds ~1e6, drowning the seed-quality signal the metric
+        # exists to track).  Clipping mirrors the training loss
+        # (train/loss.clip_cost_sentinels); the optimal assignment avoids
+        # sentinels whenever possible, so its cost — and hence the gap
+        # zero point — is unchanged, and the clipped gap is a finite,
+        # comparable seed-quality number for every family (identical to
+        # the raw gap on sentinel-free families).
+        # f64 NumPy clip (same rule as clip_cost_sentinels, threshold
+        # 0.5*BIG): on sentinel-free families C_clip == C bitwise, so the
+        # clipped bound is IDENTICAL to the raw one (a jnp round trip
+        # would cast to f32 and let greedy tie-break chaos decorrelate
+        # the two columns).
+        finite = C < 0.5 * BIG
+        if finite.all():
+            presolve_gap_clipped.append(presolve_gap[-1])
+        else:
+            fmax = C[finite].max() if finite.any() else np.inf
+            C_clip = np.minimum(C, fmax)
+            red_clip = C_clip - u_np[:, None] - v_np[None, :]
+            ub_clip = float(
+                greedy_primal_upper(
+                    jnp.asarray(C_clip)[None], jnp.asarray(red_clip)[None]
+                )[0]
+            )
+            presolve_gap_clipped.append(ub_clip - opt)
 
         x, _, cost_seeded, info = lapjv_seeded_native(
             C, u_np, v_np, return_info=True, gate="both"
@@ -169,6 +197,21 @@ def evaluate_pipeline(
         "v_mae": float(np.mean(v_mae)),
         "presolve_gap_mean": float(np.mean(presolve_gap)),
         "presolve_gap_median": float(np.median(presolve_gap)),
+        # Sentinel-clipped gap: the trackable seed-quality number for the
+        # sparse family (== raw gap on sentinel-free families).
+        "presolve_gap_clipped_mean": float(np.mean(presolve_gap_clipped)),
+        "presolve_gap_clipped_median": float(np.median(presolve_gap_clipped)),
+        # Dispersion (VERDICT r4 #5): per-instance IQRs so ladder cells can
+        # carry uncertainty; model-vs-model deltas smaller than these are
+        # noise, not findings.
+        "presolve_gap_clipped_iqr": [
+            float(np.percentile(presolve_gap_clipped, 25)),
+            float(np.percentile(presolve_gap_clipped, 75)),
+        ],
+        "u_mae_gauge_iqr": [
+            float(np.percentile(u_mae_gauge, 25)),
+            float(np.percentile(u_mae_gauge, 75)),
+        ],
     }
     if rank1_wins:
         out["rank1_seed_win_rate"] = float(np.mean(rank1_wins))

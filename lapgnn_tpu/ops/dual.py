@@ -132,17 +132,22 @@ def fast_min_trick(
 ) -> jnp.ndarray:
     """``min_trick_v`` routed through the Pallas streamed kernel on TPU.
 
-    At n >= 4096 the XLA lowering of the unmasked column-min materialises the
-    (C - u) intermediate and loses most of the HBM bandwidth; the Pallas
-    kernel (ops/pallas/colmin.py) streams row tiles once with a VMEM
-    accumulator.  Masked, non-f32, small-n, or non-TPU calls fall back to the
-    XLA path (identical semantics).
+    The XLA lowering of the unmasked column-min materialises the (C - u)
+    intermediate and loses HBM bandwidth; the Pallas kernel
+    (ops/pallas/colmin.py) streams row tiles once with a VMEM accumulator.
+    Route table (re-measured round 5 on a quiet v5e; the round-3 rule kept
+    XLA at n=2048 but Pallas has won at every measured size since r4 —
+    696.6 vs 675.1 GB/s at 2048, 740.8 vs 659.7 at 4096, 812.8 vs 789.6 at
+    8192; see bench_results/north_star_tpu_r5.json): Pallas for every
+    n >= 2048.  Below 2048 a single pass is dispatch-bound and unmeasured —
+    keep XLA.  Masked, non-f32, small-n, or non-TPU calls take the XLA path
+    (identical semantics).
     """
     n = C.shape[-1]
     if (
         mask is not None
         or C.dtype != jnp.float32
-        or n < 4096
+        or n < 2048
         or jax.default_backend() != "tpu"
     ):
         return min_trick_v(C, u, mask)

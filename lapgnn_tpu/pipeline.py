@@ -372,6 +372,7 @@ class WarmStartPipeline:
         self.route = route
         self.route_device_min_n = route_device_min_n
         self.route_native_max_n = route_native_max_n
+        self._backend_is_cpu = None  # resolved lazily on first route check
         self.model = model
         # Checkpoint params arrive as host NumPy; commit them to the device
         # once — otherwise every call re-uploads ~20 arrays, each paying the
@@ -555,10 +556,9 @@ class WarmStartPipeline:
             return True
         if self.route != "auto" or self.mode != "device":
             return False
-        return (
-            n < self.route_device_min_n
-            and jax.default_backend() != "cpu"
-        )
+        if self._backend_is_cpu is None:
+            self._backend_is_cpu = jax.default_backend() == "cpu"
+        return n < self.route_device_min_n and not self._backend_is_cpu
 
     def _solve_host_route(
         self, cost_np: np.ndarray, certify: bool
@@ -588,8 +588,9 @@ class WarmStartPipeline:
                 except Exception:  # toolchain missing -> SciPy fallback
                     use_native = False
             if not use_native:
-                r, col = scipy.optimize.linear_sum_assignment(cost64[b])
-                x = col[np.argsort(r)]
+                # linear_sum_assignment returns row indices already sorted
+                # ascending, so col IS col_of_row — no argsort needed.
+                _, x = scipy.optimize.linear_sum_assignment(cost64[b])
                 c = float(cost64[b][np.arange(n), x].sum())
             xs.append(np.asarray(x, np.int64))
             cs.append(float(c))
