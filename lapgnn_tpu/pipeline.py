@@ -729,7 +729,9 @@ class WarmStartPipeline:
         out["polished"] = polished
         out["polish_ms"] = polish_ms
 
-    def solve_stream(self, costs, certify: bool = False) -> list:
+    def solve_stream(
+        self, costs, certify: bool = False, microbatch: int = 1
+    ) -> list:
         """Pipelined streaming solve: overlap H2D, compute, and D2H.
 
         The streamed posture pays a host->device upload per instance; issued
@@ -751,6 +753,15 @@ class WarmStartPipeline:
         it: the certificate is NumPy and the polish a ctypes call into the
         stateless native solver, both of which release the GIL.
 
+        ``microbatch > 1`` groups consecutive same-size instances into one
+        device dispatch (the e2e program's lax.scan solves each instance
+        for exactly its own work).  Below n~1024 a single dispatch is
+        RTT-bound on a remote-attached device — the per-call round trip
+        dwarfs both transfer and solve — so batching amortises the fixed
+        dispatch/drain latency over ``microbatch`` instances and turns the
+        sizes where single-shot streaming loses to SciPy into wins.
+        Results are still one dict per instance.
+
         Returns a list of per-instance result dicts (same schema as
         ``solve``).
         """
@@ -759,6 +770,16 @@ class WarmStartPipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         costs = list(costs)
+        if microbatch > 1:
+            chunks = [
+                np.stack([np.asarray(c) for c in costs[i : i + microbatch]])
+                for i in range(0, len(costs), microbatch)
+            ]
+            outs = []
+            for cr in self.solve_stream(chunks, certify):
+                for b in range(cr["col_of_row"].shape[0]):
+                    outs.append({k: v[b : b + 1] for k, v in cr.items()})
+            return outs
         # Uploads run on a dedicated worker with a bounded look-ahead
         # (depth 3): on a remote-attached transport ``jax.device_put`` can
         # BLOCK until the bytes land, so issuing it inline serialises
@@ -799,11 +820,13 @@ class WarmStartPipeline:
                 packed = np.asarray(packed_futures[k])  # the only sync points
                 packed_futures[k] = None  # free the device buffer ref
                 c_np = np.asarray(costs[k], np.float64)
+                if c_np.ndim == 2:
+                    c_np = c_np[None]  # microbatched chunks arrive 3-D
                 out = self._unpack(packed, c_np.shape[-1])
                 if certify:
                     cert_futures.append(
                         pool.submit(
-                            self._certify_and_polish, c_np[None], packed, out
+                            self._certify_and_polish, c_np, packed, out
                         )
                     )
                 results.append(out)

@@ -263,6 +263,24 @@ def test_topk16_quantizer_properties(rng):
         assert d[i].argmin() in idx
 
 
+def test_solve_stream_microbatch(tiny_model, rng):
+    """microbatch>1 groups consecutive instances into one device dispatch
+    (amortising the per-call RTT at small n) while still returning one
+    certified-exact dict per instance — including a ragged final chunk."""
+    model, params = tiny_model
+    pipe = WarmStartPipeline(
+        model, params, mode="device", transfer_dtype="topk16", transfer_topk=8
+    )
+    costs = [FAMILIES["uniform"](24, rng) for _ in range(5)]
+    outs = pipe.solve_stream(costs, certify=True, microbatch=2)
+    assert len(outs) == 5
+    for C, o in zip(costs, outs):
+        r, c = scipy.optimize.linear_sum_assignment(C)
+        assert o["certified"].all()
+        got = C[np.arange(24), o["col_of_row"][0]].sum()
+        assert abs(got - C[r, c].sum()) < 1e-9
+
+
 def test_small_n_host_route(tiny_model, rng):
     """Size-routed serving: route='host' solves on the host backend (native
     cold JV below route_native_max_n, SciPy above), exact by construction,
