@@ -133,6 +133,20 @@ def quantize_topk16(a: np.ndarray, k: int = 64) -> Dict[str, np.ndarray]:
     NaN values take the top code and decode large (solver avoids; certify
     catches).  Requires square instances with n <= 65535 (uint16 column
     indices; the seeded device solver is square-only anyway).
+
+    Family boundary (measured, n=512, k=64, 4 seeds each): every dataset
+    family EXCEPT noisy_linear has all optimal edges inside the row-top-k —
+    uniform/metric/tie/sparse/block 0/4 instances missed.  noisy_linear's
+    multiplicative Monge structure places each row's optimal column by the
+    GLOBAL sorted factor order (the smallest-factor row matches its most
+    expensive column), so row-local ranking misses on 4/4 instances — and
+    doubly-centered ranking (C - rowmin - colmin) does not fix it (also
+    4/4; the structure is multiplicative, not additive).  There the
+    posture degrades gracefully: certify fails, the warm polish solves on
+    the host — still exact, and still fast in absolute terms because the
+    native seeded solver beats SciPy ~10x on that family
+    (bench_results/regression_r4.json noisy_linear rows).  Use a dense
+    transfer encoding if noisy_linear-like inputs dominate a stream.
     """
     a32 = np.ascontiguousarray(a, np.float32)
     if a32.ndim == 2:

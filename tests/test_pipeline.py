@@ -263,6 +263,25 @@ def test_topk16_quantizer_properties(rng):
         assert d[i].argmin() in idx
 
 
+def test_topk16_monge_family_polish_path(tiny_model, rng):
+    """noisy_linear's Monge structure puts optimal edges OUTSIDE the
+    row-top-k (documented family boundary of the topk16 encoding): the
+    certify path must detect the miss and restore the exact optimum via
+    the host polish — correctness never depends on the encoding."""
+    model, params = tiny_model
+    C = FAMILIES["noisy_linear"](48, rng)
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    opt = C[r, c].sum()
+    pipe = WarmStartPipeline(
+        model, params, mode="device", transfer_dtype="topk16", transfer_topk=4
+    )
+    out = pipe.solve(C, certify=True)
+    assert out["certified"].all()
+    got = C[np.arange(48), out["col_of_row"][0]].sum()
+    assert abs(got - opt) < 1e-9
+    assert abs(out["cost"][0] - opt) < 1e-9
+
+
 def test_solve_stream_microbatch(tiny_model, rng):
     """microbatch>1 groups consecutive instances into one device dispatch
     (amortising the per-call RTT at small n) while still returning one
