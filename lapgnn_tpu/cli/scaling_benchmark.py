@@ -147,7 +147,7 @@ def main(argv=None) -> None:
 
     interpret = jax.default_backend() == "cpu"
 
-    def _kernel_time(fn, inner, repeats, *kargs):
+    def _kernel_sampler(fn, inner, *kargs):
         """Per-iteration seconds via K-DIFFERENCING: the kernel is folded
         ``inner`` and ``2*inner`` times into one dispatched program each and
         the difference is divided by ``inner`` — the host dispatch and D2H
@@ -223,16 +223,20 @@ def main(argv=None) -> None:
         run1, run2 = make(inner), make(2 * inner)
         float(run1(next(seeds), *kargs))  # warm both compiles
         float(run2(next(seeds), *kargs))
-        diffs = []
-        for _ in range(repeats):
+
+        def sample():
             t0 = time.perf_counter()
             float(run1(next(seeds), *kargs))
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(run2(next(seeds), *kargs))
             t2 = time.perf_counter() - t0
-            diffs.append(t2 - t1)
-        diffs.sort()
+            return t2 - t1
+
+        return sample, inner
+
+    def _finish(diffs, inner):
+        diffs = sorted(diffs)
         med = diffs[len(diffs) // 2]
         if med <= 0:
             # A non-positive differenced median is a measurement failure
@@ -240,6 +244,28 @@ def main(argv=None) -> None:
             # NaN so the JSON cell reads null instead of an absurd GB/s.
             return float("nan")
         return med / inner
+
+    def _kernel_time(fn, inner, repeats, *kargs):
+        sample, inner = _kernel_sampler(fn, inner, *kargs)
+        return _finish([sample() for _ in range(repeats)], inner)
+
+    def _kernel_time_group(named_fns, inner, repeats, *kargs):
+        """Time several kernels with INTERLEAVED sampling rounds.
+
+        Sequentially-timed blocks are the route table's noise floor: the
+        r5 first pass measured the ROUTED path (the identical compiled
+        program as one of its branch kernels) 20% below that kernel's own
+        adjacent block — background-load drift between blocks, not kernel
+        differences.  Round-robin sampling puts every kernel under the
+        same load regime per round, so per-round differences reflect the
+        kernels; medians are taken per kernel across rounds.
+        """
+        samplers = {k: _kernel_sampler(fn, inner, *kargs) for k, fn in named_fns.items()}
+        diffs = {k: [] for k in named_fns}
+        for _ in range(repeats):
+            for k, (sample, _) in samplers.items():
+                diffs[k].append(sample())
+        return {k: _finish(diffs[k], samplers[k][1]) for k in named_fns}
 
     roofline = {}
     for nr in args.roofline_n:
@@ -265,17 +291,23 @@ def main(argv=None) -> None:
             lambda C, u: jnp.min(C + u[0] * jnp.float32(1e-30), axis=0),
             inner, args.repeats, C1, u1,
         )
-        t_xla = _kernel_time(min_trick_v, inner, args.repeats, C1, u1)
-        t_pls = _kernel_time(
-            lambda C, u: pallas_min_trick(C, u, interpret=interpret),
-            inner, args.repeats, C1, u1,
-        )
-        # The production ROUTED path (ops/dual.fast_min_trick: XLA below the
-        # size threshold, Pallas above) — the north-star contract is
-        # routed >= max(XLA, Pallas) at every measured size.
+        # The min-trick trio (XLA / Pallas / production routed path) is
+        # timed with interleaved rounds: the three numbers feed a
+        # ROUTING comparison, which sequential blocks cannot support on a
+        # shared chip (see _kernel_time_group).
         from ..ops.dual import fast_min_trick
 
-        t_routed = _kernel_time(fast_min_trick, inner, args.repeats, C1, u1)
+        trio = _kernel_time_group(
+            {
+                "xla": min_trick_v,
+                "pallas": lambda C, u: pallas_min_trick(
+                    C, u, interpret=interpret
+                ),
+                "routed": fast_min_trick,
+            },
+            inner, args.repeats, C1, u1,
+        )
+        t_xla, t_pls, t_routed = trio["xla"], trio["pallas"], trio["routed"]
         t_feat = _kernel_time(
             lambda C: row_features_fn(C[None]), max(2, inner // 8), args.repeats, C1
         )
