@@ -262,9 +262,15 @@ def main(argv=None) -> None:
         """
         samplers = {k: _kernel_sampler(fn, inner, *kargs) for k, fn in named_fns.items()}
         diffs = {k: [] for k in named_fns}
-        for _ in range(repeats):
-            for k, (sample, _) in samplers.items():
-                diffs[k].append(sample())
+        keys = list(samplers)
+        for r in range(repeats):
+            # Rotate the within-round order: a FIXED order puts the same
+            # kernel in the same thermal/queue position every round — the
+            # r5 interleaved run read the third slot ~5% low at every size
+            # while slots one and two tied to 0.01%.  Rotation averages the
+            # position effect across kernels.
+            for k in keys[r % len(keys):] + keys[: r % len(keys)]:
+                diffs[k].append(samplers[k][0]())
         return {k: _finish(diffs[k], samplers[k][1]) for k in named_fns}
 
     roofline = {}
