@@ -359,13 +359,17 @@ def main() -> None:
                 f"{t_sp / t_routed:.3f}x (host route engaged: "
                 f"{bool(pipe._route_to_host(n_small))}; single-shot small-n "
                 "is RTT-bound on this tunnel, so the router targets host "
-                "parity — the batched stream below is the winning posture)",
+                "parity)",
                 file=sys.stderr,
             )
             # Micro-batched streamed posture: amortise the per-dispatch RTT
-            # over 8 instances/dispatch with the topk16 payload — the
-            # posture that WINS at sizes where single-shot streaming is
-            # RTT-bound.  Exactness certified per instance.
+            # over 8 instances/dispatch with the topk16 payload.  Reported
+            # for transparency: on the dev tunnel the posture remains
+            # RTT-bound below n~2048 (measured 0.3-0.5x here), so the
+            # routed host path above is the small-n serving answer on this
+            # transport; the 8x amortisation pays off only where the
+            # round-trip is not the dominant term.  Exactness certified
+            # per instance.
             small_stream = [
                 np.asarray(
                     generate_uniform_costs(n_small, seed=700 + 16 * n_small + j),

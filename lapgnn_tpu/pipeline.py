@@ -769,11 +769,14 @@ class WarmStartPipeline:
 
         ``microbatch > 1`` groups consecutive same-size instances into one
         device dispatch (the e2e program's lax.scan solves each instance
-        for exactly its own work).  Below n~1024 a single dispatch is
-        RTT-bound on a remote-attached device — the per-call round trip
-        dwarfs both transfer and solve — so batching amortises the fixed
-        dispatch/drain latency over ``microbatch`` instances and turns the
-        sizes where single-shot streaming loses to SciPy into wins.
+        for exactly its own work), amortising the fixed dispatch/drain
+        round trip over ``microbatch`` instances.  Measured honestly: on
+        the dev tunnel the amortisation is NOT enough below n~2048 (the
+        degraded-link RTT can reach ~1 s, so even /8 it dominates SciPy's
+        11-54 ms solves at n=512-1024 — bench.py rows 0.3-0.5x); the
+        size router's host path is the small-n serving answer on such
+        transports, and microbatching pays off where the round trip is a
+        meaningful-but-not-dominant term (colocated links, n >~ 1024).
         Results are still one dict per instance.
 
         Returns a list of per-instance result dicts (same schema as
