@@ -189,7 +189,22 @@ def _decode_transfer(cost) -> jnp.ndarray:
         vals = cost["lo"][:, None, None] + cost["step"][:, None, None] * (
             qv.astype(jnp.float32)
         )
-        dense = jnp.broadcast_to(cost["fill"][:, None, None], (B, n, n))
+        # Tie-broken fill: a CONSTANT fill makes the n-k unkept entries of
+        # every row exactly equal — the tie-collision pathology the seeded
+        # solver's greedy/augment phases are slowest on (the measured
+        # tie-family behavior), and the plausible cause of the streamed
+        # speedup shrinking with n (4.05x @4096 -> 2.1x @8192).  A tiny
+        # per-column ramp gives each column a distinct fill so tie groups
+        # never form; the increment is RELATIVE to fill (2.5e-7 ~ 2 f32
+        # ulps) so it survives rounding at any cost scale, and the total
+        # ramp (n * inc <= fill * 4e-3 at n=16384) stays far below the
+        # kept-to-fill margin, so every unkept entry remains strictly
+        # above every kept value.
+        fill = cost["fill"][:, None, None]
+        ramp = jnp.arange(n, dtype=jnp.float32)[None, None, :] * (
+            fill * jnp.float32(2.5e-7)
+        )
+        dense = jnp.broadcast_to(fill + ramp, (B, n, n))
         b_ix = jnp.arange(B)[:, None, None]
         r_ix = jnp.arange(n)[None, :, None]
         return dense.at[b_ix, r_ix, qi].set(
