@@ -189,22 +189,30 @@ def _decode_transfer(cost) -> jnp.ndarray:
         vals = cost["lo"][:, None, None] + cost["step"][:, None, None] * (
             qv.astype(jnp.float32)
         )
-        # Tie-broken fill: a CONSTANT fill makes the n-k unkept entries of
-        # every row exactly equal — the tie-collision pathology the seeded
-        # solver's greedy/augment phases are slowest on (the measured
-        # tie-family behavior), and the plausible cause of the streamed
-        # speedup shrinking with n (4.05x @4096 -> 2.1x @8192).  A tiny
-        # per-column ramp gives each column a distinct fill so tie groups
-        # never form; the increment is RELATIVE to fill (2.5e-7 ~ 2 f32
-        # ulps) so it survives rounding at any cost scale, and the total
-        # ramp (n * inc <= fill * 4e-3 at n=16384) stays far below the
-        # kept-to-fill margin, so every unkept entry remains strictly
-        # above every kept value.
+        # Tie-broken fill, SIZE-GATED (n is static at trace time).  A
+        # constant fill makes the n-k unkept entries of every row exactly
+        # equal; two OPPOSING effects were measured on-chip (round 5):
+        #   * greedy tie-collisions: ties BAD.  A per-column ramp (distinct
+        #     fill per column) cut the n=8192 streamed solve 6323 ->
+        #     ~3600 ms/instance (2.1x -> 3.6x vs SciPy) and left n=2048
+        #     equal-or-better (75-97 ms, 4.0-5.2x).
+        #   * tied-GROUP augmentation: ties GOOD.  The solver's
+        #     Hopcroft-Karp-style augmentation advances one tied-distance
+        #     group per round; n-64 DISTINCT fill levels explode the round
+        #     count where augmentation depth dominates — at n=16384 the
+        #     ramp REGRESSED the solve 29.7 s -> 143 s/instance.
+        # Hence the gate: ramp for n <= 8192 (collision-dominated regime),
+        # constant fill above (augmentation-dominated regime).  The
+        # increment is RELATIVE to fill (2.5e-7 ~ 2 f32 ulps) so it
+        # survives rounding at any cost scale, and the total ramp stays far
+        # below the kept-to-fill margin, so every unkept entry remains
+        # strictly above every kept value either way.
         fill = cost["fill"][:, None, None]
-        ramp = jnp.arange(n, dtype=jnp.float32)[None, None, :] * (
-            fill * jnp.float32(2.5e-7)
-        )
-        dense = jnp.broadcast_to(fill + ramp, (B, n, n))
+        if n <= 8192:
+            fill = fill + jnp.arange(n, dtype=jnp.float32)[None, None, :] * (
+                fill * jnp.float32(2.5e-7)
+            )
+        dense = jnp.broadcast_to(fill, (B, n, n))
         b_ix = jnp.arange(B)[:, None, None]
         r_ix = jnp.arange(n)[None, :, None]
         return dense.at[b_ix, r_ix, qi].set(
